@@ -1,0 +1,244 @@
+"""Batched, jit/vmap-native environment engine.
+
+This is the TPU replacement for the reference's single-env Python step loop
+(soccer_simultaneous_env.py:375-424): pure functions over struct-of-arrays
+int32 state, stepping thousands of env instances in lockstep on one chip,
+with `lax.scan` rollouts and automatic reset-on-termination.
+
+Design (SURVEY.md §7.1): *rules kernel first, tables second* — transitions
+are computed inside the step kernel (branchless collision chain + factored
+slip sampling), O(1) memory, any grid size, no gathers on the hot path
+except the dense-observation lookup.  The factored sampler (slip variant
+per player, then outcome slot) draws from exactly the same joint
+distribution as the reference's 36-entry categorical (the list probabilities
+are the products of the per-player slip probabilities and the outcome
+weights), so the fast path is distributionally exact; bit-exact stream
+parity is provided separately by core/parity.py.
+
+RNG: each env instance carries an immutable per-instance key plus a
+monotonic draw counter; per-step randomness is `fold_in(key_i, n_i)`.
+This is placement-invariant — instance i behaves identically regardless of
+batch position, shard, or host (SURVEY.md §7.3.7).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import EnvConfig, MOVES, orthogonal_moves
+from . import rules, tables
+
+
+def _move_variant_table():
+    """[5 actions, 3 variants, 2 (dcol,drow)] — intended move + the two
+    orthogonal slips, reference order (soccer_simultaneous_env.py:203-206)."""
+    out = np.zeros((5, 3, 2), dtype=np.int32)
+    for a, m in enumerate(MOVES):
+        o0, o1 = orthogonal_moves(m)
+        out[a] = [m, o0, o1]
+    return out
+
+
+_MOVE_VARIANTS = _move_variant_table()
+
+
+class EnvState(NamedTuple):
+    """Struct-of-arrays batched state; every leaf has leading dim [B]."""
+    rows_a: jax.Array  # int32
+    cols_a: jax.Array
+    rows_b: jax.Array
+    cols_b: jax.Array
+    poss: jax.Array    # 0 = A has the ball, 1 = B
+    t: jax.Array       # steps taken in the current episode (int32)
+    n: jax.Array       # total draws counter (monotonic, for fold_in)
+    key: jax.Array     # per-instance PRNG key, never advanced
+
+
+class StepOut(NamedTuple):
+    obs: jax.Array        # dense observation index, int32 [B]
+    reward_a: jax.Array   # player-A-perspective reward, float32 [B]
+    done: jax.Array       # goal scored this step, bool [B]
+    truncated: jax.Array  # episode hit max_steps, bool [B]
+    final_obs: jax.Array  # obs BEFORE autoreset (terminal obs), int32 [B]
+
+
+class DeviceMaps(NamedTuple):
+    """Small lookup arrays (no transition tables).  Cached as HOST numpy —
+    they become inlined constants when referenced under jit (caching device
+    arrays created during a trace would leak tracers)."""
+    raw_to_dense: np.ndarray  # int32 [nRaw]
+    isd_fields: np.ndarray    # int32 [nI, 5]
+    isd_cum: np.ndarray       # float32 [nI]
+
+
+@functools.lru_cache(maxsize=None)
+def device_maps(cfg: EnvConfig) -> DeviceMaps:
+    tb = tables.build_tables(cfg)
+    fields = np.stack(
+        [np.array(rules.raw_decode(np, int(r), cfg), dtype=np.int32)
+         for r in tb.isd_raw])
+    return DeviceMaps(
+        raw_to_dense=tb.raw_to_dense,
+        isd_fields=fields,
+        isd_cum=np.cumsum(tb.isd_probs).astype(np.float32),
+    )
+
+
+def init(cfg: EnvConfig, key: jax.Array, batch: int) -> EnvState:
+    """Create per-instance keys and sample initial states.
+
+    Instance i's key is fold_in(key, i): stable under resharding as long as
+    global instance ids are stable.
+    """
+    keys = jax.vmap(jax.random.fold_in, (None, 0))(
+        key, jnp.arange(batch, dtype=jnp.uint32))
+    zeros = jnp.zeros(batch, dtype=jnp.int32)
+    st = EnvState(zeros, zeros, zeros, zeros, zeros,
+                  t=zeros, n=zeros, key=keys)
+    return _reset_where(cfg, st, jnp.ones(batch, dtype=bool))
+
+
+def per_env_uniforms(state: EnvState, count: int, salt: int = 0) -> jax.Array:
+    """[B, count] uniforms from fold_in(key_i, n_i) — placement-invariant.
+
+    ``salt`` separates independent consumer streams (0 = the env transition
+    itself; learners/policies use nonzero salts so action sampling never
+    correlates with slip/collision draws)."""
+    sub = jax.vmap(jax.random.fold_in)(state.key, state.n.astype(jnp.uint32))
+    if salt:
+        sub = jax.vmap(jax.random.fold_in, (0, None))(sub, jnp.uint32(salt))
+    return jax.vmap(lambda k: jax.random.uniform(k, (count,)))(sub)
+
+
+_per_env_uniforms = per_env_uniforms
+
+
+def _sample_isd(cfg: EnvConfig, u: jax.Array):
+    """Categorical over the initial state distribution (reference
+    :146-165/:414): first-exceedance over cumulative sums."""
+    maps = device_maps(cfg)
+    isd_cum = jnp.asarray(maps.isd_cum)
+    isd_fields = jnp.asarray(maps.isd_fields)
+    i = jnp.sum(isd_cum[None, :] <= u[:, None], axis=1)
+    i = jnp.clip(i, 0, isd_fields.shape[0] - 1).astype(jnp.int32)
+    f = isd_fields[i]
+    return f[:, 0], f[:, 1], f[:, 2], f[:, 3], f[:, 4]
+
+
+def _reset_where(cfg: EnvConfig, state: EnvState, mask: jax.Array) -> EnvState:
+    """Re-sample initial states for masked instances (consumes one draw)."""
+    u = _per_env_uniforms(state, 1)[:, 0]
+    ra, ca, rb, cb, p = _sample_isd(cfg, u)
+    pick = lambda new, old: jnp.where(mask, new, old)
+    return EnvState(
+        rows_a=pick(ra, state.rows_a), cols_a=pick(ca, state.cols_a),
+        rows_b=pick(rb, state.rows_b), cols_b=pick(cb, state.cols_b),
+        poss=pick(p, state.poss),
+        t=pick(jnp.zeros_like(state.t), state.t),
+        n=state.n + 1,  # keep draw counters aligned across the batch
+        key=state.key,
+    )
+
+
+def observe(cfg: EnvConfig, state: EnvState) -> jax.Array:
+    """Dense observation index (reference obs codec :487-494: goal states
+    map to 0, reachable states to their enumeration-order index)."""
+    maps = device_maps(cfg)
+    raw = rules.raw_encode(jnp, state.rows_a, state.cols_a,
+                           state.rows_b, state.cols_b, state.poss, cfg)
+    return jnp.asarray(maps.raw_to_dense)[raw]
+
+
+def _slip_variant(cfg: EnvConfig, u: jax.Array) -> jax.Array:
+    """0 = intended move (prob 1-q), 1/2 = the orthogonal slips (q/2 each),
+    matching the slip expansion weights (reference :209-223)."""
+    q = cfg.slip_prob
+    return jnp.where(u < 1.0 - q, 0,
+                     jnp.where(u < 1.0 - q * 0.5, 1, 2)).astype(jnp.int32)
+
+
+def step(cfg: EnvConfig, state: EnvState,
+         actions_a: jax.Array, actions_b: jax.Array,
+         autoreset: bool = True) -> tuple[EnvState, StepOut]:
+    """One lockstep transition for the whole batch.
+
+    Factored sampling: slip variant per player, then one categorical over
+    the <=4 collision outcome slots — jointly identical in distribution to
+    the reference's single categorical over the unmerged 36-entry list.
+    """
+    mv = jnp.asarray(_MOVE_VARIANTS)
+    u = _per_env_uniforms(state, 4)
+
+    va = _slip_variant(cfg, u[:, 0])
+    vb = _slip_variant(cfg, u[:, 1])
+    ma = mv[actions_a, va]  # [B, 2] (dcol, drow)
+    mb = mv[actions_b, vb]
+
+    out = rules.resolve_outcomes(
+        jnp, state.rows_a, state.cols_a, state.rows_b, state.cols_b,
+        state.poss, actions_a, actions_b,
+        ma[:, 0], ma[:, 1], mb[:, 0], mb[:, 1], cfg)
+
+    # Sample one of the 4 outcome slots by weight (first exceedance).
+    wcum = jnp.cumsum(out["weight"].astype(jnp.float32), axis=-1)
+    k = jnp.sum(wcum <= u[:, 2:3], axis=-1)
+    k = jnp.clip(k, 0, 3).astype(jnp.int32)
+    take = lambda a: jnp.take_along_axis(a, k[:, None], axis=-1)[:, 0]
+    nra, nca = take(out["rows_a"]), take(out["cols_a"])
+    nrb, ncb = take(out["rows_b"]), take(out["cols_b"])
+    npz = take(out["poss"]).astype(jnp.int32)
+
+    was_goal = rules.is_goal_state(
+        jnp, state.rows_a, state.cols_a, state.rows_b, state.cols_b,
+        state.poss, cfg)
+    now_goal = rules.is_goal_state(jnp, nra, nca, nrb, ncb, npz, cfg)
+    # Reward/done per reference :235-240: entering a goal pays the goal
+    # reward; starting absorbed in one pays 0.
+    ball_col = jnp.where(npz == 0, nca, ncb)
+    reward_a = jnp.where(
+        now_goal & ~was_goal,
+        jnp.where(ball_col == cfg.W - 1, 1.0, -1.0), 0.0
+    ).astype(jnp.float32)
+
+    t_next = state.t + 1
+    truncated = t_next >= cfg.max_steps
+    done = now_goal
+
+    mid = EnvState(rows_a=nra.astype(jnp.int32), cols_a=nca.astype(jnp.int32),
+                   rows_b=nrb.astype(jnp.int32), cols_b=ncb.astype(jnp.int32),
+                   poss=npz, t=t_next, n=state.n + 1, key=state.key)
+    final_obs = observe(cfg, mid)
+
+    if autoreset:
+        new_state = _reset_where(cfg, mid, done | truncated)
+    else:
+        new_state = mid
+    return new_state, StepOut(obs=observe(cfg, new_state),
+                              reward_a=reward_a, done=done,
+                              truncated=truncated, final_obs=final_obs)
+
+
+def rollout(cfg: EnvConfig, state: EnvState, policy_fn, n_steps: int):
+    """`lax.scan` rollout: policy_fn(obs, step_key) -> (actions_a,
+    actions_b).  Returns final state and stacked StepOut trajectory."""
+    def body(carry, i):
+        st = carry
+        obs = observe(cfg, st)
+        aa, ab = policy_fn(obs, i)
+        st, out = step(cfg, st, aa, ab)
+        return st, out
+
+    return jax.lax.scan(body, state, jnp.arange(n_steps))
+
+
+def random_policy_fn(cfg: EnvConfig, key: jax.Array, batch: int):
+    """Uniform-random joint policy for throughput benchmarks."""
+    def fn(obs, i):
+        k = jax.random.fold_in(key, i)
+        acts = jax.random.randint(k, (2, batch), 0, 5, dtype=jnp.int32)
+        return acts[0], acts[1]
+    return fn

@@ -68,8 +68,11 @@ def resolve_outcomes(xp, xa, ya, xb, yb, p, aa, ab, mca, mra, mcb, mrb,
     Goal (absorbing) input states yield slot0 = the state itself with
     weight 1.0 (:300-301).
     """
+    # Materialize after broadcast: numpy's stack is pathologically slow on
+    # 0-stride broadcast views; under jax this is a no-op at trace time.
+    _mat = getattr(xp, "ascontiguousarray", xp.asarray)
     xa, ya, xb, yb, p, aa, ab, mca, mra, mcb, mrb = (
-        xp.ascontiguousarray(a) for a in xp.broadcast_arrays(
+        _mat(a) for a in xp.broadcast_arrays(
             xa, ya, xb, yb, p, aa, ab, mca, mra, mcb, mrb))
     one = xp.ones_like(xa)
     has_a = p == 0
@@ -104,8 +107,12 @@ def resolve_outcomes(xp, xa, ya, xb, yb, p, aa, ab, mca, mra, mcb, mrb,
     c5 = ~c1 & ~c2 & ~c3 & ~c4
 
     stay = c1 | c2 | c3  # both players bounce back in cases 1-3
+    del stay  # (documentational; slots encode it directly)
 
-    f64 = xp.float64
+    # float64 for host/numpy table building (bit-exact parity); the device
+    # fast path runs in float32 (weights are exact in either).
+    import numpy as _np
+    f64 = _np.float64 if xp is _np else xp.float32
 
     # ---- slot 0 ----
     xa0 = xp.where(c5, nxa, xa)

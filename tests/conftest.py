@@ -1,0 +1,21 @@
+"""Test harness configuration.
+
+Tests run on the CPU backend with 8 virtual devices so the sharding /
+multi-chip paths are exercised without TPU hardware (the driver separately
+dry-runs the multi-chip path; bench.py uses the real chip).
+
+NOTE: this environment's sitecustomize registers the `axon` TPU plugin and
+sets jax_platforms via jax.config, which overrides the JAX_PLATFORMS env
+var — so we must override through jax.config as well, before any backend
+initialization.
+"""
+import os
+import sys
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
