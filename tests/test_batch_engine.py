@@ -1,0 +1,96 @@
+"""Invariants of the batched device engine: autoreset, truncation,
+determinism, placement invariance across shardings, obs encoding."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gym_soccer_tpu.config import EnvConfig
+from gym_soccer_tpu.core import batch
+from gym_soccer_tpu.parallel import mesh as pmesh
+
+CFG = EnvConfig(width=5, height=4, slip_prob=0.2)
+B = 64
+
+
+def _fields(st):
+    return tuple(np.asarray(x) for x in
+                 (st.rows_a, st.cols_a, st.rows_b, st.cols_b, st.poss, st.t))
+
+
+def test_init_states_are_isd_states():
+    st = jax.jit(lambda k: batch.init(CFG, k, 4096))(jax.random.key(0))
+    obs = np.asarray(batch.observe(CFG, st))
+    tb = batch.tables.build_tables(CFG)
+    isd_obs = set(int(tb.raw_to_dense[r]) for r in tb.isd_raw)
+    assert set(obs.tolist()) == isd_obs
+    # uniformity, coefficient of variation < 0.05 like the reference's
+    # 10k-reset test
+    counts = np.bincount(obs)[sorted(isd_obs)]
+    assert np.std(counts) / np.mean(counts) < 0.05
+
+
+def test_autoreset_restores_isd_and_zero_t():
+    pol = batch.random_policy_fn(CFG, jax.random.key(1), B)
+    st = jax.jit(lambda k: batch.init(CFG, k, B))(jax.random.key(0))
+    st, out = jax.jit(lambda s: batch.rollout(CFG, s, pol, 300))(st)
+    out = jax.tree.map(np.asarray, out)
+    # obs after autoreset is never terminal; final_obs is 0 exactly on goals
+    assert (out.obs != 0).all()
+    assert ((out.final_obs == 0) == out.done).all()
+    # whenever done|truncated, the NEXT obs (post-reset) must be an ISD obs
+    tb = batch.tables.build_tables(CFG)
+    isd_obs = set(int(tb.raw_to_dense[r]) for r in tb.isd_raw)
+    term = out.done | out.truncated
+    assert set(out.obs[term].ravel().tolist()) <= isd_obs
+
+
+def test_truncation_at_max_steps():
+    # NOOP-vs-NOOP never terminates; every episode must truncate at 100.
+    pol = lambda obs, i: (jnp.zeros(B, jnp.int32), jnp.zeros(B, jnp.int32))
+    st = jax.jit(lambda k: batch.init(CFG, k, B))(jax.random.key(0))
+    st, out = jax.jit(lambda s: batch.rollout(CFG, s, pol, 250))(st)
+    out = jax.tree.map(np.asarray, out)
+    assert not out.done.any()
+    assert out.truncated[:100].sum() == B  # exactly once in first 100 steps
+    t_idx = np.argmax(out.truncated, axis=0)
+    assert (t_idx == 99).all()  # the 100th step truncates
+
+
+def test_rollout_deterministic():
+    pol = batch.random_policy_fn(CFG, jax.random.key(1), B)
+    roll = jax.jit(lambda s: batch.rollout(CFG, s, pol, 100))
+    st = jax.jit(lambda k: batch.init(CFG, k, B))(jax.random.key(0))
+    _, o1 = roll(st)
+    _, o2 = roll(st)
+    assert np.array_equal(np.asarray(o1.obs), np.asarray(o2.obs))
+
+
+def test_placement_invariance_across_mesh_shardings():
+    """Same global instances => identical trajectories on 1 device and on
+    an 8-device mesh (SURVEY.md §7.3.7)."""
+    pol = batch.random_policy_fn(CFG, jax.random.key(1), B)
+    st1 = jax.jit(lambda k: batch.init(CFG, k, B))(jax.random.key(0))
+    r1, _ = jax.jit(lambda s: batch.rollout(CFG, s, pol, 100))(st1)
+
+    m = pmesh.env_mesh()
+    assert len(m.devices.ravel()) == 8
+    stN = pmesh.sharded_init(CFG, m, jax.random.key(0), B)
+    roll = pmesh.sharded_rollout_fn(CFG, m, pol, 100)
+    rN, _ = roll(stN)
+    for f in ("rows_a", "cols_a", "rows_b", "cols_b", "poss", "t"):
+        assert np.array_equal(np.asarray(getattr(r1, f)),
+                              np.asarray(getattr(rN, f))), f
+
+
+def test_mixed_grid_sizes_vmappable():
+    """Generalized grids (BASELINE config 4): the same kernel family jits
+    for every geometry."""
+    for (w, h, q) in [(5, 4, 0.0), (6, 4, 0.1), (7, 5, 0.2), (11, 7, 0.3)]:
+        cfg = EnvConfig(w, h, q)
+        st = jax.jit(lambda k, cfg=cfg: batch.init(cfg, k, 16))(
+            jax.random.key(0))
+        pol = batch.random_policy_fn(cfg, jax.random.key(1), 16)
+        _, out = jax.jit(
+            lambda s, cfg=cfg: batch.rollout(cfg, s, pol, 50))(st)
+        assert np.asarray(out.obs).max() < batch.tables.build_tables(cfg).nS
