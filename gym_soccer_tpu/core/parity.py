@@ -1,0 +1,207 @@
+"""Reference-RNG parity backend: bit-exact batched reproduction of the
+reference environment's trajectories (BASELINE.json north star).
+
+The reference consumes exactly one MT19937 double per reset and per step
+(soccer_simultaneous_env.py:395, :414 via gym's categorical_sample), and
+selects the first transition whose float64 cumulative sum exceeds it
+(SURVEY.md §0.4).  This module reproduces that **per batched instance**:
+
+* per-instance uniform streams generated host-side with numpy's
+  ``RandomState(seed_i)`` — the exact generator the reference uses;
+* float64 cumulative-sum thresholds precomputed on host from the padded
+  transition tensors (bit-identical to the reference's, see core/tables);
+* the threshold comparison done in pure integer ops: non-negative IEEE-754
+  doubles order identically to their 64-bit patterns, so ``cum > u`` is a
+  lexicographic (hi, lo) uint32 compare.  **No float64 hardware needed** —
+  the same kernel is exact on TPU (which has no f64) and CPU alike
+  (SURVEY.md §7.3.1 option ii).
+
+A "parity step" mirrors the reference driver loop per instance: if the env
+finished last step, consume one reset draw (ISD categorical), then consume
+one transition draw — so draw order matches the reference's
+reset/step/step/... sequence exactly.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import EnvConfig, N_ACTIONS, MAX_TRANSITIONS
+from . import tables
+
+
+def f64_bits(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Split float64 array into (hi, lo) uint32 bit-pattern words."""
+    bits = np.ascontiguousarray(a, dtype=np.float64).view(np.uint64)
+    return (bits >> np.uint64(32)).astype(np.uint32), \
+        (bits & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+
+
+def _le_bits(hi_a, lo_a, hi_b, lo_b):
+    """a <= b for non-negative doubles given (hi, lo) uint32 words."""
+    return (hi_a < hi_b) | ((hi_a == hi_b) & (lo_a <= lo_b))
+
+
+class ParityTables(NamedTuple):
+    """Host-side (numpy) arrays; inlined as constants under jit."""
+    nS: int
+    n_rows: int                # 25 joint (multiagent) or 5 (single-agent)
+    raw_to_dense: np.ndarray   # [nRaw] int32
+    cum_hi: np.ndarray         # [nS, R, 36] uint32
+    cum_lo: np.ndarray
+    next_raw: np.ndarray       # [nS, R, 36] int32
+    prob32: np.ndarray         # [nS, R, 36] float32 (for info.p checks)
+    reward32: np.ndarray       # [nS, R, 36] float32 (sign-preserving)
+    done: np.ndarray           # [nS, R, 36] bool
+    first: np.ndarray          # [nS, R] int32
+    isd_cum_hi: np.ndarray     # [nI] uint32
+    isd_cum_lo: np.ndarray
+    isd_raw: np.ndarray        # [nI] int32
+
+
+@functools.lru_cache(maxsize=None)
+def _parity_tables_cached(cfg: EnvConfig, frozen: Optional[str],
+                          policy_key) -> ParityTables:
+    tb = tables.build_tables(cfg)
+    if frozen is None:
+        arr = {"t_cum": tb.t_cum, "t_next_raw": tb.t_next_raw,
+               "t_prob": tb.t_prob, "t_reward": tb.t_reward,
+               "t_done": tb.t_done, "t_first": tb.t_first}
+    else:
+        arr = tables.collapse_single_agent(
+            tb, frozen, np.asarray(policy_key, dtype=np.int32))
+    cum_hi, cum_lo = f64_bits(arr["t_cum"])
+    isd_hi, isd_lo = f64_bits(np.cumsum(tb.isd_probs))
+    return ParityTables(
+        nS=tb.nS, n_rows=arr["t_cum"].shape[1],
+        raw_to_dense=tb.raw_to_dense,
+        cum_hi=cum_hi, cum_lo=cum_lo,
+        next_raw=arr["t_next_raw"].astype(np.int32),
+        prob32=arr["t_prob"].astype(np.float32),
+        reward32=arr["t_reward"].astype(np.float32),
+        done=arr["t_done"],
+        first=arr["t_first"].astype(np.int32),
+        isd_cum_hi=isd_hi, isd_cum_lo=isd_lo,
+        isd_raw=tb.isd_raw.astype(np.int32),
+    )
+
+
+def parity_tables(cfg: EnvConfig, frozen: Optional[str] = None,
+                  policy=None) -> ParityTables:
+    """Build (cached) parity tensors.  ``frozen``/``policy`` mirror the
+    facade's single-agent collapse."""
+    key = None if policy is None else tuple(int(a) for a in np.asarray(policy))
+    return _parity_tables_cached(cfg, frozen, key)
+
+
+def gen_streams(seeds, n_draws: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-instance MT19937 uniform streams as (hi, lo) uint32 bit words,
+    [B, n_draws] each.  seeds[i] seeds instance i exactly like the
+    reference's ctor/reset(seed) (RandomState(seed_i))."""
+    seeds = np.asarray(seeds)
+    out = np.empty((len(seeds), n_draws), dtype=np.float64)
+    for i, s in enumerate(seeds):
+        out[i] = np.random.RandomState(int(s)).random_sample(n_draws)
+    return f64_bits(out)
+
+
+class ParityState(NamedTuple):
+    raw: jax.Array          # int32 [B] current state raw code
+    t: jax.Array            # int32 [B] steps taken this episode
+    cursor: jax.Array       # int32 [B] per-instance stream position
+    needs_reset: jax.Array  # bool [B]
+
+
+def parity_init(cfg: EnvConfig, batch_size: int) -> ParityState:
+    zeros = jnp.zeros(batch_size, jnp.int32)
+    return ParityState(raw=zeros, t=zeros, cursor=zeros,
+                       needs_reset=jnp.ones(batch_size, bool))
+
+
+class ParityOut(NamedTuple):
+    obs: jax.Array        # int32 [B] dense observation
+    reward_a: jax.Array   # float32 [B]
+    done: jax.Array       # bool [B]
+    truncated: jax.Array  # bool [B]
+    prob: jax.Array       # float32 [B] (sampled transition probability)
+    was_reset: jax.Array  # bool [B] (a reset draw was consumed this step)
+
+
+def _pick_first_exceedance(cum_hi_row, cum_lo_row, u_hi, u_lo, fallback):
+    """Index of the first threshold exceeding u (uint32-pair compare);
+    the reference's argmax-over-empty fallback selects the list head."""
+    le = _le_bits(cum_hi_row, cum_lo_row, u_hi[..., None], u_lo[..., None])
+    i = jnp.sum(le, axis=-1).astype(jnp.int32)
+    return jnp.where(i >= cum_hi_row.shape[-1], fallback, i)
+
+
+def parity_step(cfg: EnvConfig, pt: ParityTables, state: ParityState,
+                row: jax.Array, stream_hi: jax.Array, stream_lo: jax.Array
+                ) -> tuple[ParityState, ParityOut]:
+    """One reference-exact transition per instance.
+
+    ``row``: int32 [B] table row (aa*5+ab joint index, or the learner's
+    action in single-agent mode).  ``stream_hi/lo``: [B, n_draws] uint32
+    per-instance MT19937 bit streams from `gen_streams`.
+    """
+    B = state.raw.shape[0]
+    bidx = jnp.arange(B)
+
+    take = lambda cur: (stream_hi[bidx, cur], stream_lo[bidx, cur])
+
+    # ---- optional reset draw (reference reset(), :410-424) ----
+    u_hi, u_lo = take(state.cursor)
+    isd_hi = jnp.asarray(pt.isd_cum_hi)
+    isd_lo = jnp.asarray(pt.isd_cum_lo)
+    le = _le_bits(isd_hi[None, :], isd_lo[None, :], u_hi[:, None], u_lo[:, None])
+    isd_i = jnp.minimum(jnp.sum(le, axis=-1),
+                        len(pt.isd_raw) - 1).astype(jnp.int32)
+    reset_raw = jnp.asarray(pt.isd_raw)[isd_i]
+
+    was_reset = state.needs_reset
+    raw = jnp.where(was_reset, reset_raw, state.raw)
+    t = jnp.where(was_reset, 0, state.t)
+    cursor = state.cursor + was_reset.astype(jnp.int32)
+
+    # ---- transition draw (reference step(), :375-408) ----
+    u_hi, u_lo = take(cursor)
+    s = jnp.asarray(pt.raw_to_dense)[raw]
+    cum_hi = jnp.asarray(pt.cum_hi)[s, row]
+    cum_lo = jnp.asarray(pt.cum_lo)[s, row]
+    i = _pick_first_exceedance(cum_hi, cum_lo, u_hi, u_lo,
+                               jnp.asarray(pt.first)[s, row])
+
+    ns_raw = jnp.asarray(pt.next_raw)[s, row, i]
+    # Absorbing goal rows point at the class representative; the actual
+    # state self-loops (matches facade/reference semantics).
+    ns_raw = jnp.where(s == 0, raw, ns_raw)
+    done = jnp.asarray(pt.done)[s, row, i]
+    reward = jnp.asarray(pt.reward32)[s, row, i]
+    prob = jnp.asarray(pt.prob32)[s, row, i]
+
+    t = t + 1
+    truncated = t >= cfg.max_steps
+    new = ParityState(raw=ns_raw, t=t, cursor=cursor + 1,
+                      needs_reset=done | truncated)
+    obs = jnp.asarray(pt.raw_to_dense)[ns_raw]
+    return new, ParityOut(obs=obs, reward_a=reward, done=done,
+                          truncated=truncated, prob=prob,
+                          was_reset=was_reset)
+
+
+def parity_rollout(cfg: EnvConfig, pt: ParityTables, state: ParityState,
+                   rows: jax.Array, stream_hi: jax.Array,
+                   stream_lo: jax.Array):
+    """Scripted scan: rows [T, B] table-row indices per step."""
+    def body(carry, row):
+        return parity_step(cfg, pt, carry, row, stream_hi, stream_lo)
+
+    return jax.lax.scan(body, state, rows)
+
+
+def joint_row(actions_a, actions_b) -> jax.Array:
+    return actions_a * N_ACTIONS + actions_b
