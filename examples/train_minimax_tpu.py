@@ -1,0 +1,66 @@
+"""Flagship TPU workload: minimax-Q self-play at 8192 envs (BASELINE
+config 3), fused act/step/update under one jitted scan, with on-device
+episode metrics, checkpointing, and throughput reporting.
+
+Run: python examples/train_minimax_tpu.py [--steps 20000] [--envs 8192]
+"""
+import argparse
+import os
+import sys
+import time
+
+import jax
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from gym_soccer_tpu.config import EnvConfig
+from gym_soccer_tpu.agents import learners
+from gym_soccer_tpu.utils import checkpoint
+from gym_soccer_tpu.utils.profiling import Throughput, log_json
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=20000)
+    ap.add_argument("--envs", type=int, default=8192)
+    ap.add_argument("--chunk", type=int, default=1000)
+    ap.add_argument("--ckpt", type=str, default="")
+    args = ap.parse_args()
+
+    cfg = EnvConfig(width=5, height=4, slip_prob=0.2)
+    lcfg = learners.MinimaxQConfig(lr=0.1, eps=0.2, resolve_every=64)
+
+    init = jax.jit(lambda k: learners.minimax_init(cfg, k, args.envs))
+    train = jax.jit(
+        lambda s: learners.minimax_train(cfg, lcfg, s, args.chunk))
+
+    state = jax.block_until_ready(init(jax.random.key(0)))
+    if args.ckpt and os.path.exists(args.ckpt):
+        state = checkpoint.load_pytree(args.ckpt, state)
+        log_json(event="resumed", step=int(state.step))
+
+    t_compile = time.perf_counter()
+    state, td = jax.block_until_ready(train(state))
+    log_json(event="compiled", seconds=round(time.perf_counter() - t_compile, 1))
+
+    tp = Throughput()
+    done = int(state.step)
+    while done < args.steps:
+        state, td = train(state)
+        jax.block_until_ready(td)
+        done = int(state.step)
+        tp.tick(args.chunk * args.envs)
+        log_json(step=done, mean_abs_td=round(float(np.asarray(td).mean()), 5),
+                 v_max=round(float(np.abs(np.asarray(state.v)).max()), 4),
+                 **tp.summary())
+        if args.ckpt:
+            checkpoint.save_pytree(args.ckpt, state)
+
+    v = np.asarray(state.v)
+    log_json(event="finished", steps=done, v_min=float(v.min()),
+             v_max=float(v.max()), **tp.summary())
+
+
+if __name__ == "__main__":
+    main()

@@ -12,5 +12,6 @@ Layers:
   utils/     policies, checkpointing, profiling
 """
 from .config import EnvConfig, NOOP, NORTH, SOUTH, EAST, WEST  # noqa: F401
+from .registry import make, register, registry_ids  # noqa: F401
 
 __version__ = "0.1.0"

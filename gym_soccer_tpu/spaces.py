@@ -49,6 +49,32 @@ class Discrete(Space):
         return f"Discrete({self.n})"
 
 
+class MultiDiscrete(Space):
+    """Fixed-length tuples of bounded integers (used for egocentric tuple
+    observations in the alternating-turn env)."""
+
+    def __init__(self, nvec, seed=None):
+        super().__init__(seed)
+        self.nvec = tuple(int(n) for n in nvec)
+
+    def sample(self):
+        return tuple(int(self._np_random.randint(0, n)) for n in self.nvec)
+
+    def contains(self, x) -> bool:
+        try:
+            xs = tuple(int(v) for v in x)
+        except (TypeError, ValueError):
+            return False
+        return len(xs) == len(self.nvec) and all(
+            0 <= v < n for v, n in zip(xs, self.nvec))
+
+    def __eq__(self, other):
+        return isinstance(other, MultiDiscrete) and other.nvec == self.nvec
+
+    def __repr__(self):
+        return f"MultiDiscrete({list(self.nvec)})"
+
+
 class Dict(Space):
     """Keyed collection of spaces (insertion-ordered)."""
 

@@ -1,1 +1,1 @@
-from . import policies  # noqa: F401
+from . import checkpoint, metrics, policies, profiling  # noqa: F401
