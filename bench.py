@@ -3,11 +3,14 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Config matches BASELINE.json config 2/3 territory: 8192 env instances in
+Config is BASELINE.json config 2/3 territory: 8192 env instances in
 lockstep, random-vs-random joint actions, default 5x4 Littman grid,
-slip 0.2.  ``vs_baseline`` is measured against the reference
-implementation's single-env step loop at ~2.7e4 steps/s (the only
-measurable reference number — it publishes none; SURVEY.md §6).
+slip 0.2.  Primary path is the fused pallas rollout kernel
+(gym_soccer_tpu/ops/step_kernel.py, whole rollout on-chip); falls back to
+the generic XLA engine (core/batch.py) if pallas is unavailable on the
+backend.  ``vs_baseline`` compares against the reference implementation's
+single-env step loop at ~2.7e4 steps/s (the only measurable reference
+number — it publishes none; SURVEY.md §6).
 """
 import json
 import time
@@ -19,34 +22,58 @@ from gym_soccer_tpu.core import batch
 
 REFERENCE_STEPS_PER_S = 2.7e4  # reference step() loop, 1 CPU core (SURVEY §6)
 
+CFG = EnvConfig(width=5, height=4, slip_prob=0.2)
+B, T = 8192, 1000
 
-def main():
-    cfg = EnvConfig(width=5, height=4, slip_prob=0.2)
-    B, T = 8192, 1000
-    pol = batch.random_policy_fn(cfg, jax.random.key(1), B)
+
+def bench_pallas():
+    """Long fused kernels (T=50k) with per-call blocking, so device time
+    dwarfs dispatch latency; report the median of 3 — immune to async
+    dispatch artifacts."""
+    from gym_soccer_tpu.ops.step_kernel import pallas_rollout
+    T_long = 50_000
+    _ = jax.block_until_ready(
+        pallas_rollout(CFG, jax.numpy.int32(0), B, T_long))
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(
+            pallas_rollout(CFG, jax.numpy.int32(i + 1), B, T_long))
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[1]
+    return B * T_long / dt, "pallas_fused_rollout"
+
+
+def bench_xla():
+    pol = batch.random_policy_fn(CFG, jax.random.key(1), B)
 
     @jax.jit
     def init(key):
-        return batch.init(cfg, key, B)
+        return batch.init(CFG, key, B)
 
     @jax.jit
     def chunk(s):
-        s, out = batch.rollout(cfg, s, pol, T)
-        return s, (out.reward_a.sum(), out.done.sum(), out.truncated.sum())
+        s, out = batch.rollout(CFG, s, pol, T)
+        return s, out.reward_a.sum()
 
     st = jax.block_until_ready(init(jax.random.key(0)))
-    st, _ = jax.block_until_ready(chunk(st))  # compile + warmup
-
+    st, _ = jax.block_until_ready(chunk(st))
     n = 5
     t0 = time.perf_counter()
     for _ in range(n):
-        st, stats = chunk(st)
+        st, _ = chunk(st)
     jax.block_until_ready(st)
     dt = (time.perf_counter() - t0) / n
+    return B * T / dt, "xla_engine"
 
-    steps_per_s = B * T / dt
+
+def main():
+    try:
+        steps_per_s, path = bench_pallas()
+    except Exception:
+        steps_per_s, path = bench_xla()
     print(json.dumps({
-        "metric": "env_steps_per_s_per_chip_8192envs",
+        "metric": f"env_steps_per_s_per_chip_8192envs_{path}",
         "value": round(steps_per_s),
         "unit": "env-steps/s",
         "vs_baseline": round(steps_per_s / REFERENCE_STEPS_PER_S, 1),

@@ -1,0 +1,242 @@
+"""Fused pallas TPU rollout kernel.
+
+The generic XLA engine (core/batch.py) reaches ~15.8M env-steps/s/chip;
+its costs are per-step threefry calls, small gathers (move tables,
+take_along_axis, dense-obs lookup) and scan overhead.  This kernel removes
+all of them: the entire T-step rollout runs inside one pallas kernel with
+
+* state resident in VMEM as (B/128, 128) int32 tiles,
+* a counter-based in-register PRNG (murmur3 finalizer over
+  (seed, step, word, lane) counters — the hardware `pltpu.prng_*`
+  primitives hang this environment's remote Mosaic compiler, and plain
+  VPU integer ops are just as cheap here) — one 32-bit word per decision
+  pair, 16-bit fixed-point thresholds (bias <= 2^-16, statistically
+  negligible; the bit-exact path is core/parity.py),
+* transitions computed purely arithmetically (the same branchless collision
+  chain as core/rules.py:resolve_outcomes, specialized inline — see the
+  cross-distribution test in tests/test_pallas_kernel.py),
+* random-vs-random behavior policy and episode statistics accumulated
+  in-register, so nothing leaves the chip until the end.
+
+Scope: throughput/bench path (BASELINE configs 2).  Learner integration
+keeps the XLA engine (scatter updates need HBM tables anyway).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import EnvConfig
+
+LANES = 128
+
+
+def _in_goal_rows(x, cfg: EnvConfig):
+    m = x == cfg.goal_rows[0]
+    for r in cfg.goal_rows[1:]:
+        m = m | (x == r)
+    return m
+
+
+def _next_cell(x, y, mc, mr, ball, cfg: EnvConfig):
+    nx = jnp.clip(x + mr, 0, cfg.H - 1)
+    nyt = y + mc
+    xoob = (nyt == 0) | (nyt == cfg.W - 1)
+    goal = xoob & _in_goal_rows(nx, cfg) & ball
+    ny = jnp.where(xoob & ~goal, y, nyt)
+    return nx, ny
+
+
+def _fmix32(x):
+    """murmur3 finalizer: full-avalanche 32-bit mix (uint32 in/out)."""
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    return x
+
+
+def _random_word(seed, step, widx, lane_ctr):
+    """One uint32 of pseudo-randomness per lane from a unique counter
+    (seed, step, word-index, lane)."""
+    c = (seed * jnp.uint32(0x9E3779B9)
+         + step.astype(jnp.uint32) * jnp.uint32(0x85EBCA77)
+         + jnp.uint32(widx) * jnp.uint32(0xC2B2AE3D))
+    return _fmix32(_fmix32(lane_ctr ^ c) + c)
+
+
+def _action_move(a):
+    """(dcol, drow) of an action, arithmetically (no table gather)."""
+    mc = (a == 3).astype(jnp.int32) - (a == 4).astype(jnp.int32)
+    mr = (a == 2).astype(jnp.int32) - (a == 1).astype(jnp.int32)
+    return mc, mr
+
+
+def _slipped_move(a, u16, q_int: int):
+    """Apply the orthogonal-slip rule: keep the intended move with
+    p = 1-q, else one of the two orthogonals (q/2 each).  ``u16`` uniform
+    in [0, 65536); ``q_int`` = round(q * 65536)."""
+    mc, mr = _action_move(a)
+    t_keep = 65536 - q_int
+    t_half = 65536 - q_int // 2
+    keep = u16 < t_keep
+    first = u16 < t_half
+    # orthogonals of (mc, mr): (-mr, mc) then (mr, -mc)
+    omc = jnp.where(first, -mr, mr)
+    omr = jnp.where(first, mc, -mc)
+    return jnp.where(keep, mc, omc), jnp.where(keep, mr, omr)
+
+
+def _isd_lookup(idx, cfg: EnvConfig):
+    """Initial state fields by ISD index, arithmetically (nI is 2 or 4)."""
+    from ..core import tables
+    import numpy as np
+    from ..core import rules as _rules
+    _, raws = tables.build_isd(cfg)
+    fields = [tuple(int(v) for v in _rules.raw_decode(np, int(r), cfg))
+              for r in raws]
+    outs = []
+    for f in range(5):
+        v = jnp.full_like(idx, fields[0][f])
+        for i in range(1, len(fields)):
+            v = jnp.where(idx == i, fields[i][f], v)
+        outs.append(v)
+    return outs
+
+
+def _step_once(carry, bits0, bits1, bits2, cfg: EnvConfig, q_int: int):
+    ra, ca, rb, cb, p, t, rew, goals, truncs = carry
+    u = lambda w, hi: ((w >> (16 if hi else 0)) & 0xFFFF).astype(jnp.int32)
+
+    aa = u(bits0, 0) % 5
+    ab = u(bits0, 1) % 5
+    mca, mra = _slipped_move(aa, u(bits1, 0), q_int)
+    mcb, mrb = _slipped_move(ab, u(bits1, 1), q_int)
+
+    has_a, has_b = p == 0, p == 1
+    nxa, nya = _next_cell(ra, ca, mca, mra, has_a, cfg)
+    nxb, nyb = _next_cell(rb, cb, mcb, mrb, has_b, cfg)
+
+    # collision chain (reference priority order; see core/rules.py)
+    c1 = ((ra == rb) & (jnp.abs(ca - cb) == 1) & (nya == cb) & (nyb == ca)) | \
+         ((ca == cb) & (jnp.abs(ra - rb) == 1) & (nxa == rb) & (nxb == ra))
+    c2 = ~c1 & (((nxa == rb) & (nya == cb) & (ab == 0)) |
+                ((nxb == ra) & (nyb == ca) & (aa == 0)))
+    c3 = ~c1 & ~c2 & (
+        ((ra == nxa) & (ca == nya) & (aa != 0) & (nxb == ra) & (nyb == ca)) |
+        ((rb == nxb) & (cb == nyb) & (ab != 0) & (nxa == rb) & (nya == cb)))
+    c4 = ~c1 & ~c2 & ~c3 & (nxa == nxb) & (nya == nyb)
+    c5 = ~c1 & ~c2 & ~c3 & ~c4
+
+    coin_poss = (u(bits2, 0) & 1).astype(jnp.int32)   # 50/50 possession
+    coin_who = ((u(bits2, 0) >> 1) & 1) == 1          # c4: who advances
+
+    a_moves = c5 | (c4 & coin_who)
+    b_moves = c5 | (c4 & ~coin_who)
+    nra = jnp.where(a_moves, nxa, ra)
+    nca = jnp.where(a_moves, nya, ca)
+    nrb = jnp.where(b_moves, nxb, rb)
+    ncb = jnp.where(b_moves, nyb, cb)
+    npz = jnp.where(c2, 1 - p, jnp.where(c1 | c3 | c4, coin_poss, p))
+
+    ball_col = jnp.where(npz == 0, nca, ncb)
+    # logical (not select) combination: Mosaic has no i1 select
+    a_ball = npz == 0
+    gr = (a_ball & _in_goal_rows(nra, cfg)) | (~a_ball & _in_goal_rows(nrb, cfg))
+    goal = gr & ((ball_col == 0) | (ball_col == cfg.W - 1))
+    r = jnp.where(goal,
+                  jnp.where(ball_col == cfg.W - 1, 1, -1), 0).astype(jnp.int32)
+
+    t = t + 1
+    trunc = (t >= cfg.max_steps) & ~goal
+    term = goal | trunc
+
+    # autoreset from the (uniform) ISD
+    nI = 4 if len(cfg.goal_rows) % 2 == 0 else 2
+    isd_idx = u(bits2, 1) % nI
+    ira, ica, irb, icb, ip = _isd_lookup(isd_idx, cfg)
+    nra = jnp.where(term, ira, nra)
+    nca = jnp.where(term, ica, nca)
+    nrb = jnp.where(term, irb, nrb)
+    ncb = jnp.where(term, icb, ncb)
+    npz = jnp.where(term, ip, npz)
+    t = jnp.where(term, 0, t)
+
+    return (nra, nca, nrb, ncb, npz, t,
+            rew + r, goals + goal.astype(jnp.int32),
+            truncs + trunc.astype(jnp.int32))
+
+
+def _rollout_kernel(seed_ref, ra_ref, ca_ref, rb_ref, cb_ref, p_ref, t_ref,
+                    ora, oca, orb, ocb, op, ot, stats_ref,
+                    *, cfg: EnvConfig, n_steps: int, q_int: int):
+    seed = seed_ref[0].astype(jnp.uint32)
+    shape = ra_ref.shape
+    rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    lane_ctr = rows * jnp.uint32(shape[1]) + cols
+
+    def body(i, carry):
+        bits0 = _random_word(seed, i, 0, lane_ctr)
+        bits1 = _random_word(seed, i, 1, lane_ctr)
+        bits2 = _random_word(seed, i, 2, lane_ctr)
+        return _step_once(carry, bits0, bits1, bits2, cfg, q_int)
+
+    zeros = jnp.zeros(shape, jnp.int32)
+    carry = (ra_ref[:], ca_ref[:], rb_ref[:], cb_ref[:], p_ref[:], t_ref[:],
+             zeros, zeros, zeros)
+    carry = jax.lax.fori_loop(0, n_steps, body, carry)
+    ra, ca, rb, cb, p, t, rew, goals, truncs = carry
+    ora[:], oca[:], orb[:], ocb[:], op[:], ot[:] = ra, ca, rb, cb, p, t
+    stats_ref[0, 0] = jnp.sum(rew)
+    stats_ref[0, 1] = jnp.sum(goals)
+    stats_ref[0, 2] = jnp.sum(truncs)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "n_steps", "batch", "interpret"))
+def pallas_rollout(cfg: EnvConfig, seed: jax.Array, batch: int,
+                   n_steps: int, interpret: bool = False):
+    """Run `n_steps` of random-vs-random self-play for `batch` envs fully
+    on-chip.  Returns (final_state_fields, (reward_sum, goals, truncs)).
+
+    `batch` must be a multiple of 1024 (tiled as [batch/128, 128] int32).
+    """
+    assert batch % (8 * LANES) == 0, "batch must be a multiple of 1024"
+    shape = (batch // LANES, LANES)
+    q_int = int(round(cfg.slip_prob * 65536))
+
+    # Start lanes spread uniformly over the ISD.  (Starting every lane in
+    # the same ISD entry measurably biases aggregate rewards: possession
+    # near your own goal is an own-goal risk under random play, a ~5-sigma
+    # effect over 8192 first episodes.)
+    from ..core import tables
+    import numpy as np
+    from ..core import rules as _rules
+    _, raws = tables.build_isd(cfg)
+    fs = np.stack([np.array(_rules.raw_decode(np, int(r), cfg), np.int32)
+                   for r in raws])  # [nI, 5]
+    lane_isd = (np.arange(batch, dtype=np.int64) % len(raws)).reshape(shape)
+    init = [jnp.asarray(fs[lane_isd, f]) for f in range(5)]
+    t0 = jnp.zeros(shape, jnp.int32)
+
+    kernel = functools.partial(_rollout_kernel, cfg=cfg, n_steps=n_steps,
+                               q_int=q_int)
+    out_shapes = ([jax.ShapeDtypeStruct(shape, jnp.int32)] * 6 +
+                  [jax.ShapeDtypeStruct((1, 3), jnp.int32)])
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=tuple(out_shapes),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] +
+                 [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 6 +
+                        [pl.BlockSpec(memory_space=pltpu.SMEM)]),
+        interpret=interpret,
+    )(jnp.asarray([seed], jnp.int32).reshape(1), *init, t0)
+    *fields, stats = outs
+    return tuple(fields), (stats[0, 0], stats[0, 1], stats[0, 2])

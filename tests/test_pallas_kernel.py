@@ -1,0 +1,58 @@
+"""Fused pallas rollout kernel: statistical agreement with the (digest-
+verified) XLA engine, run in interpreter mode on the CPU backend."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gym_soccer_tpu.config import EnvConfig
+from gym_soccer_tpu.core import batch
+from gym_soccer_tpu.ops.step_kernel import pallas_rollout
+
+CFG = EnvConfig(width=5, height=4, slip_prob=0.2)
+
+
+def _kernel_stats(seed, B=2048, T=400):
+    fields, stats = pallas_rollout(CFG, jnp.int32(seed), B, T,
+                                   interpret=True)
+    rew, goals, truncs = (int(x) for x in stats)
+    return rew, goals, truncs, B * T, fields
+
+
+def _xla_stats(seed, B=2048, T=400):
+    st = jax.jit(lambda k: batch.init(CFG, k, B))(jax.random.key(seed))
+    pol = batch.random_policy_fn(CFG, jax.random.key(seed + 1), B)
+    _, out = jax.jit(lambda s: batch.rollout(CFG, s, pol, T))(st)
+    return (float(np.asarray(out.reward_a).sum()),
+            int(np.asarray(out.done).sum()),
+            int(np.asarray(out.truncated).sum()), B * T)
+
+
+def test_rates_match_xla_engine():
+    kr, kg, kt, kn, _ = _kernel_stats(0)
+    xr, xg, xt, xn = _xla_stats(0)
+    k_goal_rate, x_goal_rate = kg / kn, xg / xn
+    # binomial sigma ~ 0.00037 at n=819200; allow model bias + 4 sigma
+    assert abs(k_goal_rate - x_goal_rate) < 0.002, (k_goal_rate, x_goal_rate)
+    assert abs(kt / kn - xt / xn) < 0.001, (kt / kn, xt / xn)
+
+
+def test_reward_unbiased():
+    zs = []
+    for seed in range(3):
+        r, g, t, n, _ = _kernel_stats(seed * 7 + 1)
+        zs.append(r / max(np.sqrt(g), 1))
+    assert all(abs(z) < 4 for z in zs), zs
+    assert abs(np.mean(zs)) < 2.5, zs
+
+
+def test_final_states_valid():
+    """Every lane must end in a valid non-terminal reachable state."""
+    from gym_soccer_tpu.core import rules, tables
+    _, _, _, _, fields = _kernel_stats(3)
+    ra, ca, rb, cb, p, t = (np.asarray(f).ravel() for f in fields)
+    tb = tables.build_tables(CFG)
+    raw = rules.raw_encode(np, ra, ca, rb, cb, p, CFG)
+    dense = tb.raw_to_dense[raw]
+    assert (dense > 0).all(), "autoreset must leave no terminal/unreachable"
+    assert (t >= 0).all() and (t < CFG.max_steps).all()
