@@ -27,21 +27,31 @@ B, T = 8192, 1000
 
 
 def bench_pallas():
-    """Long fused kernels (T=50k) with per-call blocking, so device time
-    dwarfs dispatch latency; report the median of 3 — immune to async
-    dispatch artifacts."""
+    """Slope methodology: median wall time (with a real host value fetch as
+    the barrier — block_until_ready is unreliable on tunneled backends) at
+    two kernel lengths; throughput = d(steps)/d(wall).  This cancels
+    dispatch/transfer latency exactly.  T capped at 20k — this
+    environment's relay wedges on longer-running kernels."""
+    import numpy as np
     from gym_soccer_tpu.ops.step_kernel import pallas_rollout
-    T_long = 50_000
-    _ = jax.block_until_ready(
-        pallas_rollout(CFG, jax.numpy.int32(0), B, T_long))
-    times = []
-    for i in range(3):
-        t0 = time.perf_counter()
-        jax.block_until_ready(
-            pallas_rollout(CFG, jax.numpy.int32(i + 1), B, T_long))
-        times.append(time.perf_counter() - t0)
-    dt = sorted(times)[1]
-    return B * T_long / dt, "pallas_fused_rollout"
+
+    def measure(T, n=8):
+        _, st = pallas_rollout(CFG, jax.numpy.int32(0), B, T)
+        int(np.asarray(st[1]))  # warmup + compile
+        ws = []
+        for i in range(n):
+            t0 = time.perf_counter()
+            _, st = pallas_rollout(CFG, jax.numpy.int32(i + 1), B, T)
+            int(np.asarray(st[1]))
+            ws.append(time.perf_counter() - t0)
+        return sorted(ws)[n // 2]
+
+    t_short, t_long = 2000, 20000
+    w_short = measure(t_short)
+    w_long = measure(t_long)
+    assert w_long > w_short, "timing anomaly"
+    return (t_long - t_short) * B / (w_long - w_short), \
+        "pallas_fused_rollout"
 
 
 def bench_xla():
