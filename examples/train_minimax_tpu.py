@@ -29,7 +29,10 @@ def main():
     args = ap.parse_args()
 
     cfg = EnvConfig(width=5, height=4, slip_prob=0.2)
-    lcfg = learners.MinimaxQConfig(lr=0.1, eps=0.2, resolve_every=64)
+    lcfg = learners.MinimaxQConfig(lr=0.3, eps=0.3, resolve_every=64,
+                                   solver_iters=200,
+                                   lr_halflife=args.steps // 5,
+                                   eps_halflife=args.steps // 3)
 
     init = jax.jit(lambda k: learners.minimax_init(cfg, k, args.envs))
     train = jax.jit(

@@ -1,1 +1,1 @@
-from . import planners  # noqa: F401
+from . import evaluation, learners, planners  # noqa: F401

@@ -35,33 +35,46 @@ from ..core import batch, tables
 # Zero-sum matrix-game solver (batched)
 # ----------------------------------------------------------------------
 
-def solve_matrix_games(M: jax.Array, iters: int = 100,
-                       eta: float = 0.5) -> tuple[jax.Array, jax.Array, jax.Array]:
+def solve_matrix_games(M: jax.Array, iters: int = 100
+                       ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Approximately solve max_x min_y x^T M y for a batch of zero-sum
-    games M [..., nA, nA] via multiplicative-weights self-play with
-    iterate averaging (O(1/sqrt(T)) duality gap; `iters`=100 is ~1e-2
-    on [-1,1]-bounded games, plenty for control).
+    games M [..., nA, nA] via Regret Matching+ self-play with linear
+    averaging (empirically ~O(1/T) duality gap on small games — a few
+    hundred iterations reach 1e-3-1e-4 on [-1,1]-bounded payoffs, which
+    matters because a per-state strategy gap is amplified by the 1/(1-gamma)
+    horizon when these solves back equilibrium values).
 
-    Returns (value, x, y): the game values [...] and the average mixed
+    Returns (value, x, y): the game values [...] and the averaged mixed
     strategies for the row maximizer / column minimizer [..., nA].
     """
     nA = M.shape[-1]
     shape = M.shape[:-2]
+    dt = M.dtype
+    uniform = jnp.full(shape + (nA,), 1.0 / nA, dt)
 
-    def body(carry, _):
-        lx, ly, sx, sy = carry
-        x = jax.nn.softmax(lx, axis=-1)
-        y = jax.nn.softmax(ly, axis=-1)
-        # row player ascends payoff M y; column player descends x^T M
-        gx = jnp.einsum('...ij,...j->...i', M, y)
-        gy = jnp.einsum('...i,...ij->...j', x, M)
-        return (lx + eta * gx, ly - eta * gy, sx + x, sy + y), None
+    def normalize(r):
+        s = r.sum(-1, keepdims=True)
+        return jnp.where(s > 0, r / jnp.maximum(s, 1e-30), uniform)
 
-    zeros = jnp.zeros(shape + (nA,), M.dtype)
-    (lx, ly, sx, sy), _ = jax.lax.scan(
-        body, (zeros, zeros, zeros, zeros), None, length=iters)
-    x = sx / iters
-    y = sy / iters
+    def body(carry, t):
+        rx, ry, sx, sy = carry
+        x = normalize(rx)
+        y = normalize(ry)
+        # instantaneous payoffs
+        my = jnp.einsum('...ij,...j->...i', M, y)     # row payoffs vs y
+        xm = jnp.einsum('...i,...ij->...j', x, M)     # col payoffs vs x
+        vx = jnp.einsum('...i,...i->...', x, my)[..., None]
+        # RM+: truncate cumulative regrets at zero
+        rx = jnp.maximum(rx + (my - vx), 0.0)
+        ry = jnp.maximum(ry + (vx - xm), 0.0)
+        w = (t + 1).astype(dt)  # linear averaging
+        return (rx, ry, sx + w * x, sy + w * y), None
+
+    zeros = jnp.zeros(shape + (nA,), dt)
+    (rx, ry, sx, sy), _ = jax.lax.scan(
+        body, (zeros, zeros, zeros, zeros), jnp.arange(iters))
+    x = sx / sx.sum(-1, keepdims=True)
+    y = sy / sy.sum(-1, keepdims=True)
     value = jnp.einsum('...i,...ij,...j->...', x, M, y)
     return value, x, y
 
@@ -122,14 +135,23 @@ def iql_step(cfg: EnvConfig, lcfg: IQLConfig, state: IQLState,
     td_a = tgt_a - state.q_a[obs, aa]
     td_b = tgt_b - state.q_b[obs, ab]
 
-    # Scatter-add deltas; all-reduce across env shards so replicated
-    # tables stay identical (delta-psum == averaging per-shard updates
-    # up to learning-rate scale).
-    delta_a = jnp.zeros_like(state.q_a).at[obs, aa].add(lcfg.lr * td_a)
-    delta_b = jnp.zeros_like(state.q_b).at[obs, ab].add(lcfg.lr * td_b)
+    # Count-normalized scatter updates: many envs can hit the same
+    # (s, a) cell in one lockstep batch; applying the MEAN of their TDs at
+    # learning rate lr keeps the update magnitude batch-size-invariant
+    # (raw sums compound into runaway feedback at large batch).  Sums and
+    # counts are all-reduced across env shards BEFORE the divide, so
+    # replicated tables stay bit-identical to single-device training.
+    sum_a = jnp.zeros_like(state.q_a).at[obs, aa].add(td_a)
+    cnt_a = jnp.zeros_like(state.q_a).at[obs, aa].add(1.0)
+    sum_b = jnp.zeros_like(state.q_b).at[obs, ab].add(td_b)
+    cnt_b = jnp.zeros_like(state.q_b).at[obs, ab].add(1.0)
     if psum_axis is not None:
-        delta_a = jax.lax.psum(delta_a, psum_axis)
-        delta_b = jax.lax.psum(delta_b, psum_axis)
+        sum_a = jax.lax.psum(sum_a, psum_axis)
+        cnt_a = jax.lax.psum(cnt_a, psum_axis)
+        sum_b = jax.lax.psum(sum_b, psum_axis)
+        cnt_b = jax.lax.psum(cnt_b, psum_axis)
+    delta_a = lcfg.lr * sum_a / jnp.maximum(cnt_a, 1.0)
+    delta_b = lcfg.lr * sum_b / jnp.maximum(cnt_b, 1.0)
 
     new = IQLState(q_a=state.q_a + delta_a, q_b=state.q_b + delta_b,
                    env=env2, step=state.step + 1)
@@ -160,11 +182,13 @@ class MinimaxQState(NamedTuple):
 
 
 class MinimaxQConfig(NamedTuple):
-    lr: float = 0.1
+    lr: float = 0.25
     gamma: float = 0.99
-    eps: float = 0.2          # exploration mixed into the policies
+    eps: float = 0.3          # exploration mixed into the policies
     resolve_every: int = 32   # batched all-state game re-solve cadence
-    solver_iters: int = 60
+    solver_iters: int = 200
+    lr_halflife: int = 0      # steps to halve lr (0 = constant), as in
+    eps_halflife: int = 0     # Littman's decayed-alpha schedule
 
 
 def minimax_init(cfg: EnvConfig, key: jax.Array, n_envs: int) -> MinimaxQState:
@@ -192,9 +216,14 @@ def minimax_step(cfg: EnvConfig, lcfg: MinimaxQConfig, state: MinimaxQState,
     obs = batch.observe(cfg, state.env)
     u = batch.per_env_uniforms(state.env, 2, salt=1).T
     nA = N_ACTIONS
-    explore = lcfg.eps / nA
-    pa = state.pi_a[obs] * (1 - lcfg.eps) + explore
-    pb = state.pi_b[obs] * (1 - lcfg.eps) + explore
+    fstep = state.step.astype(jnp.float32)
+    decay = lambda hl: jnp.where(hl > 0, 0.5 ** (fstep / jnp.maximum(hl, 1)),
+                                 1.0)
+    eps = lcfg.eps * decay(lcfg.eps_halflife)
+    lr = lcfg.lr * decay(lcfg.lr_halflife)
+    explore = eps / nA
+    pa = state.pi_a[obs] * (1 - eps) + explore
+    pb = state.pi_b[obs] * (1 - eps) + explore
     aa = _sample_mixed(pa, u[0])
     ab = _sample_mixed(pb, u[1])
 
@@ -204,10 +233,13 @@ def minimax_step(cfg: EnvConfig, lcfg: MinimaxQConfig, state: MinimaxQState,
     tgt = out.reward_a + lcfg.gamma * cont * state.v[out.final_obs]
     td = tgt - state.q[obs, aa, ab]
 
-    delta = jnp.zeros_like(state.q).at[obs, aa, ab].add(lcfg.lr * td)
+    # Count-normalized update (see iql_step): mean TD per visited cell.
+    sum_td = jnp.zeros_like(state.q).at[obs, aa, ab].add(td)
+    cnt = jnp.zeros_like(state.q).at[obs, aa, ab].add(1.0)
     if psum_axis is not None:
-        delta = jax.lax.psum(delta, psum_axis)
-    q = state.q + delta
+        sum_td = jax.lax.psum(sum_td, psum_axis)
+        cnt = jax.lax.psum(cnt, psum_axis)
+    q = state.q + lr * sum_td / jnp.maximum(cnt, 1.0)
 
     # Periodic batched re-solve of ALL state games (761 x 5x5 at once).
     def resolve(qv):

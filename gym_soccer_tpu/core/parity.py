@@ -101,11 +101,18 @@ def parity_tables(cfg: EnvConfig, frozen: Optional[str] = None,
 def gen_streams(seeds, n_draws: int) -> tuple[np.ndarray, np.ndarray]:
     """Per-instance MT19937 uniform streams as (hi, lo) uint32 bit words,
     [B, n_draws] each.  seeds[i] seeds instance i exactly like the
-    reference's ctor/reset(seed) (RandomState(seed_i))."""
+    reference's ctor/reset(seed) (RandomState(seed_i)).
+
+    Uses the threaded C++ generator (gym_soccer_tpu/native) when available
+    — bit-identical output, ~10-40x faster for large batches — else the
+    numpy RandomState loop."""
     seeds = np.asarray(seeds)
-    out = np.empty((len(seeds), n_draws), dtype=np.float64)
-    for i, s in enumerate(seeds):
-        out[i] = np.random.RandomState(int(s)).random_sample(n_draws)
+    from .. import native
+    out = native.mt19937_streams(seeds, n_draws)
+    if out is None:
+        out = np.empty((len(seeds), n_draws), dtype=np.float64)
+        for i, s in enumerate(seeds):
+            out[i] = np.random.RandomState(int(s)).random_sample(n_draws)
     return f64_bits(out)
 
 

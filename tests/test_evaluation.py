@@ -1,0 +1,62 @@
+"""Markov-game solution layer: Shapley iteration, best response,
+exploitability, and the minimax-Q convergence contract."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gym_soccer_tpu.config import EnvConfig
+from gym_soccer_tpu.agents import evaluation as ev, learners
+
+CFG = EnvConfig(width=5, height=4, slip_prob=0.2)
+UNIFORM = jnp.full((761, 5), 0.2, jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def equilibrium():
+    return jax.jit(lambda: ev.shapley_iteration(
+        CFG, theta=1e-5, solver_iters=400))()
+
+
+def test_shapley_game_value_symmetric(equilibrium):
+    V, pa, pb, Q, cc = equilibrium
+    # zero-sum symmetric game: the value at the (mirror-symmetric) ISD is 0
+    assert abs(ev.start_value(CFG, V)) < 5e-3
+    assert float(jnp.abs(V).max()) <= 1.0 + 1e-3
+    assert int(cc) > 10
+    # V[0] is the absorbed terminal class
+    assert abs(float(V[0])) < 1e-4
+
+
+def test_equilibrium_unexploitable(equilibrium):
+    V, pa, pb, Q, cc = equilibrium
+    e = ev.exploitability(CFG, pa, pb)
+    assert 0 <= e < 0.05, e
+
+
+def test_uniform_policies_exploitable():
+    e = ev.exploitability(CFG, UNIFORM, UNIFORM)
+    assert e > 1.0, e
+
+
+def test_best_response_dominates_fixed_opponent(equilibrium):
+    """BR value vs uniform must beat the equilibrium value from the start
+    states (a uniform opponent is strictly weaker)."""
+    V_eq, pa, pb, *_ = equilibrium
+    v_br, pi_br = ev.best_response_value(CFG, UNIFORM, "player_a")
+    assert ev.start_value(CFG, v_br) > ev.start_value(CFG, V_eq) + 0.3
+
+
+def test_minimax_q_reduces_exploitability():
+    st = jax.jit(lambda k: learners.minimax_init(CFG, k, 1024))(
+        jax.random.key(0))
+    lcfg = learners.MinimaxQConfig(lr=0.3, eps=0.3, resolve_every=32,
+                                   solver_iters=200, lr_halflife=4000,
+                                   eps_halflife=6000)
+    train = jax.jit(lambda s: learners.minimax_train(CFG, lcfg, s, 5000))
+    e0 = ev.exploitability(CFG, st.pi_a, st.pi_b)
+    st, _ = jax.block_until_ready(train(st))
+    e1 = ev.exploitability(CFG, st.pi_a, st.pi_b)
+    assert np.isfinite(float(jnp.abs(st.q).max()))
+    assert float(jnp.abs(st.v).max()) <= 1.5
+    assert e1 < 0.6 * e0, (e0, e1)

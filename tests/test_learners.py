@@ -50,8 +50,8 @@ def test_iql_learns_to_score():
     learned greedy policies should reach goals reliably (both players
     actively trying beats the uniform-random baseline episode length)."""
     st = jax.jit(lambda k: learners.iql_init(CFG, k, 512))(jax.random.key(0))
-    lcfg = learners.IQLConfig(lr=0.2, eps=0.2)
-    train = jax.jit(lambda s: learners.iql_train(CFG, lcfg, s, 3000))
+    lcfg = learners.IQLConfig(lr=0.5, eps=0.25)
+    train = jax.jit(lambda s: learners.iql_train(CFG, lcfg, s, 6000))
     st, td = jax.block_until_ready(train(st))
     td = np.asarray(td)
     assert np.abs(np.asarray(st.q_a)).max() > 0.3, "Q never moved"
