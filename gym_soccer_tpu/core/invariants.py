@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import checkify
 
-from ..config import EnvConfig
+from ..config import EnvConfig, N_ACTIONS
 from . import batch, rules
 
 
@@ -49,9 +49,12 @@ def state_invariants(cfg: EnvConfig, state: batch.EnvState) -> dict:
 
 
 def assert_invariants(cfg: EnvConfig, state: batch.EnvState) -> None:
-    """Host-side hard assertion (tests / debugging)."""
+    """Host-side hard assertion (tests / debugging).  One jitted dispatch
+    and one transfer — cheap even over a tunneled backend."""
     import numpy as np
-    for name, ok in state_invariants(cfg, state).items():
+    inv = jax.jit(state_invariants, static_argnums=0)(cfg, state)
+    inv = jax.device_get(inv)
+    for name, ok in inv.items():
         bad = np.flatnonzero(~np.asarray(ok))
         assert bad.size == 0, f"invariant {name} violated at lanes {bad[:8]}"
 
@@ -63,8 +66,10 @@ def checked_step(cfg: EnvConfig):
         inv = state_invariants(cfg, state)
         for name, ok in inv.items():
             checkify.check(jnp.all(ok), f"pre-step invariant {name} violated")
-        checkify.check(jnp.all((aa >= 0) & (aa < 5) & (ab >= 0) & (ab < 5)),
-                       "actions out of range")
+        checkify.check(
+            jnp.all((aa >= 0) & (aa < N_ACTIONS) &
+                    (ab >= 0) & (ab < N_ACTIONS)),
+            "actions out of range")
         new, out = batch.step(cfg, state, aa, ab)
         for name, ok in state_invariants(cfg, new).items():
             checkify.check(jnp.all(ok), f"post-step invariant {name} violated")

@@ -106,9 +106,6 @@ def resolve_outcomes(xp, xa, ya, xb, yb, p, aa, ab, mca, mra, mcb, mrb,
     # Else — clean move (:357-360).
     c5 = ~c1 & ~c2 & ~c3 & ~c4
 
-    stay = c1 | c2 | c3  # both players bounce back in cases 1-3
-    del stay  # (documentational; slots encode it directly)
-
     # float64 for host/numpy table building (bit-exact parity); the device
     # fast path runs in float32 (weights are exact in either).
     import numpy as _np
@@ -175,7 +172,7 @@ def is_goal_state(xp, xa, ya, xb, yb, p, cfg: EnvConfig):
 def goal_reward_a(xp, xa, ya, xb, yb, p, cfg: EnvConfig):
     """Player-A-perspective reward of a goal state (:94-102): +1 if the ball
     sits in the right goal column, -1 if the left; 0 for non-goal states."""
-    ball_col = xp.where(p == 0, ya, xb * 0 + yb)
+    ball_col = xp.where(p == 0, ya, yb)
     g = is_goal_state(xp, xa, ya, xb, yb, p, cfg)
     r = xp.where(ball_col == cfg.W - 1, xp.float64(1.0), xp.float64(-1.0))
     return xp.where(g, r, xp.float64(0.0))

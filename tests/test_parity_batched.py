@@ -96,26 +96,16 @@ def run_fixture_lanes(names, lanes_per_fixture=2):
     final, out = jax.block_until_ready(roll(st, rows))
     out = jax.tree.map(np.asarray, out)
 
-    # trajectory raw states per step for comparison
-    raws = np.asarray(jax.jit(
-        lambda s, r: parity.parity_rollout(
-            cfg, pt, s, r, jnp.asarray(hi), jnp.asarray(lo))[1].obs)(st, rows))
-    del raws
-
     lane = 0
     for (seed, steps), name in zip(scripts, names):
         for _ in range(lanes_per_fixture):
             for t in range(T):
                 exp = steps[t]
-                got_state = rules.raw_decode(
-                    np, int(np.asarray(final.raw)[lane]), cfg) \
-                    if t == T - 1 else None
                 assert int(out.obs[t, lane]) == exp["obs"], (name, t)
                 assert np.float32(exp["reward"]).tobytes() == \
                     out.reward_a[t, lane].tobytes(), (name, t)
                 assert bool(out.done[t, lane]) == exp["done"], (name, t)
                 assert bool(out.truncated[t, lane]) == exp["trunc"], (name, t)
-                del got_state
             # final lane state must equal the fixture's last compared state
             exp_state = steps[T - 1]["state"]
             got = rules.raw_decode(np, int(np.asarray(final.raw)[lane]), cfg)
