@@ -114,16 +114,27 @@ def _eps_greedy(q_row: jax.Array, u_explore: jax.Array,
 
 
 def iql_step(cfg: EnvConfig, lcfg: IQLConfig, state: IQLState,
-             psum_axis: Optional[str] = None
-             ) -> tuple[IQLState, jax.Array]:
+             psum_axis: Optional[str] = None,
+             frozen_a=None, frozen_b=None) -> tuple[IQLState, jax.Array]:
     """One fused act/step/update for the whole batch.  Returns mean |TD|.
 
     Action exploration draws from the env instances' own salted key streams
-    (batch.per_env_uniforms) — placement-invariant and shard-safe."""
+    (batch.per_env_uniforms) — placement-invariant and shard-safe.
+
+    ``frozen_a``/``frozen_b``: optional int policy array [nS] fixing that
+    player's behavior (the batched analogue of the reference's frozen-
+    opponent single-agent mode, soccer_simultaneous_env.py:187-188); the
+    frozen side's Q-table is left untouched."""
     obs = batch.observe(cfg, state.env)
     u = batch.per_env_uniforms(state.env, 4, salt=1).T
-    aa = _eps_greedy(state.q_a[obs], u[0], u[1], lcfg.eps)
-    ab = _eps_greedy(state.q_b[obs], u[2], u[3], lcfg.eps)
+    if frozen_a is not None:
+        aa = jnp.asarray(frozen_a)[obs]
+    else:
+        aa = _eps_greedy(state.q_a[obs], u[0], u[1], lcfg.eps)
+    if frozen_b is not None:
+        ab = jnp.asarray(frozen_b)[obs]
+    else:
+        ab = _eps_greedy(state.q_b[obs], u[2], u[3], lcfg.eps)
 
     env2, out = batch.step(cfg, state.env, aa, ab)
     term = out.done | out.truncated
@@ -152,6 +163,10 @@ def iql_step(cfg: EnvConfig, lcfg: IQLConfig, state: IQLState,
         cnt_b = jax.lax.psum(cnt_b, psum_axis)
     delta_a = lcfg.lr * sum_a / jnp.maximum(cnt_a, 1.0)
     delta_b = lcfg.lr * sum_b / jnp.maximum(cnt_b, 1.0)
+    if frozen_a is not None:
+        delta_a = jnp.zeros_like(delta_a)
+    if frozen_b is not None:
+        delta_b = jnp.zeros_like(delta_b)
 
     new = IQLState(q_a=state.q_a + delta_a, q_b=state.q_b + delta_b,
                    env=env2, step=state.step + 1)
@@ -159,11 +174,11 @@ def iql_step(cfg: EnvConfig, lcfg: IQLConfig, state: IQLState,
 
 
 def iql_train(cfg: EnvConfig, lcfg: IQLConfig, state: IQLState,
-              n_steps: int,
-              psum_axis: Optional[str] = None) -> tuple[IQLState, jax.Array]:
+              n_steps: int, psum_axis: Optional[str] = None,
+              frozen_a=None, frozen_b=None) -> tuple[IQLState, jax.Array]:
     """`lax.scan` over fused learner steps (jit this)."""
     def body(carry, _):
-        return iql_step(cfg, lcfg, carry, psum_axis)
+        return iql_step(cfg, lcfg, carry, psum_axis, frozen_a, frozen_b)
 
     return jax.lax.scan(body, state, None, length=n_steps)
 

@@ -84,6 +84,30 @@ def test_minimax_q_value_bounded_and_mixed():
     assert (pi >= -1e-6).all()
 
 
+def test_ql_vs_frozen_opponent_wins():
+    """Frozen-opponent mode (the reference's single-agent mode, batched):
+    Q-learning against a frozen random B must reach a high win rate —
+    the learned analogue of the reference's >95% VI contract
+    (test_general.py:344-381)."""
+    from gym_soccer_tpu.utils.policies import get_random_policy_array
+    frozen_b = get_random_policy_array(761, 5, seed=42)
+    st = jax.jit(lambda k: learners.iql_init(CFG, k, 512))(jax.random.key(0))
+    lcfg = learners.IQLConfig(lr=0.5, eps=0.25)
+    train = jax.jit(lambda s: learners.iql_train(CFG, lcfg, s, 8000,
+                                                 frozen_b=frozen_b))
+    st, _ = jax.block_until_ready(train(st))
+    assert float(jnp.abs(st.q_b).max()) == 0.0, "frozen side must not learn"
+
+    qa, fb = st.q_a, jnp.asarray(frozen_b)
+    pol = lambda obs, i: (jnp.argmax(qa[obs], -1).astype(jnp.int32), fb[obs])
+    env0 = jax.jit(lambda k: batch.init(CFG, k, 512))(jax.random.key(9))
+    _, out = jax.jit(lambda s: batch.rollout(CFG, s, pol, 300))(env0)
+    done = np.asarray(out.done)
+    wins = ((np.asarray(out.reward_a) > 0) & done).sum()
+    eps = (done | np.asarray(out.truncated)).sum()
+    assert wins / eps > 0.9, f"win rate {wins / eps:.3f}"
+
+
 def test_sharded_training_matches_single_device():
     """Delta-psum DP training on the 8-device mesh must produce identical
     Q-tables to single-device training on the same global batch."""
