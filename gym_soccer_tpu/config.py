@@ -75,6 +75,14 @@ class EnvConfig:
         return (0, self.W - 1)
 
     @property
+    def goal_row_bounds(self):
+        """Goal rows are always a contiguous range; (lo, hi) inclusive.
+        Membership tests use this form so the rules kernel works with both
+        static configs and per-lane geometry arrays (core/multigrid.py)."""
+        rows = self.goal_rows
+        return rows[0], rows[-1]
+
+    @property
     def n_raw(self) -> int:
         """Size of the raw mixed-radix state code space."""
         return self.H * self.W * self.H * self.W * 2

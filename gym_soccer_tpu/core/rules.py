@@ -25,13 +25,12 @@ from __future__ import annotations
 from ..config import NOOP, EnvConfig
 
 
-def in_goal_rows(x, cfg: EnvConfig):
-    """Membership of a row index in the (static) goal rows."""
-    rows = cfg.goal_rows
-    m = x == rows[0]
-    for r in rows[1:]:
-        m = m | (x == r)
-    return m
+def in_goal_rows(x, cfg):
+    """Membership of a row index in the goal rows.  Uses the contiguous
+    (lo, hi) range form so ``cfg`` may be a static EnvConfig OR a per-lane
+    geometry pytree with array bounds (core/multigrid.py)."""
+    lo, hi = cfg.goal_row_bounds
+    return (x >= lo) & (x <= hi)
 
 
 def next_cell(xp, x, y, mc, mr, has_ball, cfg: EnvConfig):

@@ -1,0 +1,79 @@
+"""Multi-variant engine: mixed grid geometries stepping in one jitted
+batch, validated per-variant against the single-grid engine."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gym_soccer_tpu.config import EnvConfig
+from gym_soccer_tpu.core import batch, multigrid, rules
+
+CFGS = [EnvConfig(5, 4, 0.2), EnvConfig(6, 4, 0.1),
+        EnvConfig(7, 5, 0.2), EnvConfig(11, 7, 0.3)]
+B = len(CFGS) * 64
+
+
+@pytest.fixture(scope="module")
+def final_and_traj():
+    st = jax.jit(lambda k: multigrid.init(CFGS, k, B))(jax.random.key(0))
+    pol = lambda s, i: tuple(jax.random.randint(
+        jax.random.fold_in(jax.random.key(1), i), (2, B), 0, 5,
+        dtype=jnp.int32))
+    final, traj = jax.jit(
+        lambda s: multigrid.rollout(s, pol, 400))(st)
+    return final, jax.tree.map(np.asarray, traj)
+
+
+def _lane_cfg_index():
+    return np.arange(B) % len(CFGS)
+
+
+def test_initial_states_respect_variant_isd():
+    st = jax.jit(lambda k: multigrid.init(CFGS, k, B))(jax.random.key(0))
+    idx = _lane_cfg_index()
+    for v, cfg in enumerate(CFGS):
+        lanes = idx == v
+        ca = np.asarray(st.cols_a)[lanes]
+        cb = np.asarray(st.cols_b)[lanes]
+        assert (ca == 2).all() and (cb == cfg.W - 3).all()
+        gr = set(cfg.goal_rows)
+        assert set(np.asarray(st.rows_a)[lanes].tolist()) <= gr
+        assert set(np.asarray(st.rows_b)[lanes].tolist()) <= gr
+
+
+def test_lanes_stay_inside_their_own_geometry(final_and_traj):
+    final, traj = final_and_traj
+    idx = _lane_cfg_index()
+    for v, cfg in enumerate(CFGS):
+        lanes = idx == v
+        for rows, cols in [(final.rows_a, final.cols_a),
+                           (final.rows_b, final.cols_b)]:
+            r = np.asarray(rows)[lanes]
+            c = np.asarray(cols)[lanes]
+            assert (r >= 0).all() and (r < cfg.H).all()
+            assert (c >= 1).all() and (c <= cfg.W - 2).all(), \
+                "autoreset keeps players out of goal columns"
+
+
+def test_goal_rates_match_single_grid_engines(final_and_traj):
+    _, (rew, goal, trunc) = final_and_traj
+    idx = _lane_cfg_index()
+    for v, cfg in enumerate(CFGS):
+        lanes = idx == v
+        multi_rate = goal[:, lanes].mean()
+        # single-grid engine reference rate
+        st = jax.jit(lambda k, cfg=cfg: batch.init(cfg, k, 256))(
+            jax.random.key(2))
+        pol = batch.random_policy_fn(cfg, jax.random.key(3), 256)
+        _, out = jax.jit(
+            lambda s, cfg=cfg: batch.rollout(cfg, s, pol, 400))(st)
+        single_rate = np.asarray(out.done).mean()
+        # loose band: rates differ by sampling noise only
+        assert abs(multi_rate - single_rate) < 0.012, \
+            (cfg, multi_rate, single_rate)
+
+
+def test_rewards_are_goal_consistent(final_and_traj):
+    _, (rew, goal, trunc) = final_and_traj
+    assert ((rew != 0) == goal).all()
+    assert set(np.unique(rew)).issubset({-1.0, 0.0, 1.0})
