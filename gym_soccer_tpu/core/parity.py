@@ -212,3 +212,19 @@ def parity_rollout(cfg: EnvConfig, pt: ParityTables, state: ParityState,
 
 def joint_row(actions_a, actions_b) -> jax.Array:
     return actions_a * N_ACTIONS + actions_b
+
+
+def parity_rollout_device(cfg: EnvConfig, pt: ParityTables, seeds,
+                          rows: jax.Array):
+    """Fully device-resident parity rollout: per-instance MT19937 streams
+    are generated ON DEVICE (core/mt19937.py — bit-identical to numpy's
+    RandomState) and fed straight into the parity kernel.  Seeds in,
+    bit-exact reference trajectories out; no host RNG involvement.
+
+    ``rows``: [T, B] table-row indices (see parity_rollout)."""
+    from . import mt19937
+    seeds = jnp.asarray(seeds, jnp.uint32)
+    n_draws = 2 * rows.shape[0] + 2
+    hi, lo = mt19937.device_streams(seeds, n_draws)
+    state = parity_init(cfg, seeds.shape[0])
+    return parity_rollout(cfg, pt, state, rows, hi, lo)
