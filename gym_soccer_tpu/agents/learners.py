@@ -97,7 +97,7 @@ class IQLConfig(NamedTuple):
 
 
 def iql_init(cfg: EnvConfig, key: jax.Array, n_envs: int) -> IQLState:
-    nS = tables.build_tables(cfg).nS
+    nS = tables.build_statespace(cfg).nS
     return IQLState(
         q_a=jnp.zeros((nS, N_ACTIONS), jnp.float32),
         q_b=jnp.zeros((nS, N_ACTIONS), jnp.float32),
@@ -207,7 +207,7 @@ class MinimaxQConfig(NamedTuple):
 
 
 def minimax_init(cfg: EnvConfig, key: jax.Array, n_envs: int) -> MinimaxQState:
-    nS = tables.build_tables(cfg).nS
+    nS = tables.build_statespace(cfg).nS
     uniform = jnp.full((nS, N_ACTIONS), 1.0 / N_ACTIONS, jnp.float32)
     return MinimaxQState(
         q=jnp.zeros((nS, N_ACTIONS, N_ACTIONS), jnp.float32),

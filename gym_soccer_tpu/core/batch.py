@@ -77,14 +77,16 @@ class DeviceMaps(NamedTuple):
 
 @functools.lru_cache(maxsize=None)
 def device_maps(cfg: EnvConfig) -> DeviceMaps:
-    tb = tables.build_tables(cfg)
+    # Only the cheap O(n_raw) indexing layer — NOT the transition tensors —
+    # so the direct kernel scales to grids far beyond table capacity.
+    ss = tables.build_statespace(cfg)
     fields = np.stack(
         [np.array(rules.raw_decode(np, int(r), cfg), dtype=np.int32)
-         for r in tb.isd_raw])
+         for r in ss.isd_raw])
     return DeviceMaps(
-        raw_to_dense=tb.raw_to_dense,
+        raw_to_dense=ss.raw_to_dense,
         isd_fields=fields,
-        isd_cum=np.cumsum(tb.isd_probs).astype(np.float32),
+        isd_cum=np.cumsum(ss.isd_probs).astype(np.float32),
     )
 
 

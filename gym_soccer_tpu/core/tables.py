@@ -94,7 +94,26 @@ def build_isd(cfg: EnvConfig):
     return probs, raws
 
 
-def build_tables(cfg: EnvConfig) -> GameTables:
+@dataclasses.dataclass
+class StateSpace:
+    """The cheap indexing layer alone: O(n_raw) memory, no transition
+    tensors.  Enough for the direct step kernel (dense observations, ISD),
+    so the batched engine scales to grids far beyond what full transition
+    tables could hold."""
+    cfg: EnvConfig
+    nS: int
+    raw_to_dense: np.ndarray
+    dense_to_raw: np.ndarray
+    fields: np.ndarray
+    goal_mask_raw: np.ndarray
+    goal_reward_raw: np.ndarray
+    unreachable_raw: np.ndarray
+    goal_raw: np.ndarray
+    isd_probs: np.ndarray
+    isd_raw: np.ndarray
+
+
+def build_statespace(cfg: EnvConfig) -> StateSpace:
     n_raw = cfg.n_raw
     raw = np.arange(n_raw, dtype=np.int32)
     xa, ya, xb, yb, p = rules.raw_decode(np, raw, cfg)
@@ -118,12 +137,29 @@ def build_tables(cfg: EnvConfig) -> GameTables:
     # the reference's repeated overwrite of P[0] (:182-184).
     dense_to_raw[0] = goal_raw[-1]
 
-    goal_mask_raw = goal
     goal_reward_raw = np.where(
         goal, rules.goal_reward_a(np, xa, ya, xb, yb, p, cfg), 0.0)
 
     fxa, fya, fxb, fyb, fp = rules.raw_decode(np, dense_to_raw, cfg)
     fields = np.stack([fxa, fya, fxb, fyb, fp], axis=-1).astype(np.int32)
+
+    isd_probs, isd_raw = build_isd(cfg)
+    return StateSpace(
+        cfg=cfg, nS=nS, raw_to_dense=raw_to_dense,
+        dense_to_raw=dense_to_raw, fields=fields, goal_mask_raw=goal,
+        goal_reward_raw=goal_reward_raw, unreachable_raw=unreachable_raw,
+        goal_raw=goal_raw, isd_probs=isd_probs, isd_raw=isd_raw)
+
+
+def build_tables(cfg: EnvConfig) -> GameTables:
+    ss = build_statespace(cfg)
+    nS = ss.nS
+    raw_to_dense = ss.raw_to_dense
+    dense_to_raw = ss.dense_to_raw
+    goal_mask_raw = ss.goal_mask_raw
+    goal_reward_raw = ss.goal_reward_raw
+    fields = ss.fields
+    fxa, fya, fxb, fyb, fp = (fields[:, i] for i in range(5))
 
     # ---- joint transition tensors -------------------------------------
     mv = _move_variants()  # [nA, 3, 2]
@@ -173,14 +209,12 @@ def build_tables(cfg: EnvConfig) -> GameTables:
     t_cum = np.cumsum(t_prob, axis=-1)
     t_first = np.argmax(t_mask, axis=-1).astype(np.int32)
 
-    isd_probs, isd_raw = build_isd(cfg)
-
     return GameTables(
         cfg=cfg, nS=nS,
         raw_to_dense=raw_to_dense, dense_to_raw=dense_to_raw, fields=fields,
         goal_mask_raw=goal_mask_raw, goal_reward_raw=goal_reward_raw,
-        unreachable_raw=unreachable_raw, goal_raw=goal_raw,
-        isd_probs=isd_probs, isd_raw=isd_raw,
+        unreachable_raw=ss.unreachable_raw, goal_raw=ss.goal_raw,
+        isd_probs=ss.isd_probs, isd_raw=ss.isd_raw,
         t_prob=t_prob, t_cum=t_cum, t_next_raw=t_next_raw,
         t_next_dense=t_next_dense, t_reward=t_reward, t_done=t_done,
         t_mask=t_mask, t_first=t_first,

@@ -94,3 +94,15 @@ def test_mixed_grid_sizes_vmappable():
         _, out = jax.jit(
             lambda s, cfg=cfg: batch.rollout(cfg, s, pol, 50))(st)
         assert np.asarray(out.obs).max() < batch.tables.build_tables(cfg).nS
+
+
+def test_huge_grid_without_tables():
+    """The direct kernel needs only the O(n_raw) indexing layer, so grids
+    far beyond transition-table capacity work (40x30: 2.9M states; full
+    tables would need terabytes)."""
+    cfg = EnvConfig(width=40, height=30, slip_prob=0.2)
+    st = jax.jit(lambda k: batch.init(cfg, k, 64))(jax.random.key(0))
+    pol = batch.random_policy_fn(cfg, jax.random.key(1), 64)
+    _, out = jax.jit(lambda s: batch.rollout(cfg, s, pol, 100))(st)
+    assert np.asarray(out.obs).min() >= 1
+    assert batch.tables.build_statespace(cfg).nS > 2_000_000
