@@ -35,6 +35,8 @@ FIXTURES = {
     "traj_5x4_slip02_multi_seed0": (EnvConfig(5, 4, 0.2), None, None),
     "traj_5x4_slip00_multi_seed5": (EnvConfig(5, 4, 0.0), None, None),
     "traj_7x5_slip03_multi_seed42": (EnvConfig(7, 5, 0.3), None, None),
+    "traj_6x4_slip01_multi_seed77": (EnvConfig(6, 4, 0.1), None, None),
+    "traj_9x6_slip025_multi_seed31": (EnvConfig(9, 6, 0.25), None, None),
     "traj_5x4_slip02_singleA_seed9": (
         EnvConfig(5, 4, 0.2), "player_b", random_policy_array(761, 5, 0)),
     "traj_5x4_slip02_singleB_seed21": (
@@ -126,6 +128,11 @@ def test_deterministic_grid_fixture():
 
 def test_odd_grid_fixture():
     run_fixture_lanes(["traj_7x5_slip03_multi_seed42"])
+
+
+def test_even_grid_fixtures():
+    run_fixture_lanes(["traj_6x4_slip01_multi_seed77"])
+    run_fixture_lanes(["traj_9x6_slip025_multi_seed31"])
 
 
 def test_single_agent_a_fixture():

@@ -143,6 +143,18 @@ def main():
     out["traj_7x5_slip03_multi_seed42"] = run_trajectory(
         env, 42, multiagent_script(300, seed=13), ["player_a", "player_b"])
 
+    # --- multiagent 6x4 slip=0.1 ---
+    env = SoccerSimultaneousEnv(width=6, height=4, slip_prob=0.1)
+    out["tables_6x4_slip01_multi"] = digest_tables(env)
+    out["traj_6x4_slip01_multi_seed77"] = run_trajectory(
+        env, 77, multiagent_script(300, seed=23), ["player_a", "player_b"])
+
+    # --- multiagent 9x6 slip=0.25 ---
+    env = SoccerSimultaneousEnv(width=9, height=6, slip_prob=0.25)
+    out["tables_9x6_slip025_multi"] = digest_tables(env)
+    out["traj_9x6_slip025_multi_seed31"] = run_trajectory(
+        env, 31, multiagent_script(300, seed=29), ["player_a", "player_b"])
+
     # --- single-agent A (frozen random B) 5x4 slip=0.2 ---
     pol_b = random_policy(761, 5, seed=0)
     env = SoccerSimultaneousEnv(width=5, height=4, slip_prob=0.2,
