@@ -109,12 +109,17 @@ def _isd_lookup(idx, cfg: EnvConfig):
     return outs
 
 
-def _step_once(carry, bits0, bits1, bits2, cfg: EnvConfig, q_int: int):
-    ra, ca, rb, cb, p, t, rew, goals, truncs = carry
-    u = lambda w, hi: ((w >> (16 if hi else 0)) & 0xFFFF).astype(jnp.int32)
+def _u16(w, hi):
+    return ((w >> (16 if hi else 0)) & 0xFFFF).astype(jnp.int32)
 
-    aa = u(bits0, 0) % 5
-    ab = u(bits0, 1) % 5
+
+def transition_core(ra, ca, rb, cb, p, aa, ab, bits1, bits2,
+                    cfg: EnvConfig, q_int: int):
+    """Pure game transition given CHOSEN actions: slips, collision chain,
+    goal detection.  Returns (nra, nca, nrb, ncb, npz, goal, r) WITHOUT
+    autoreset/bookkeeping — shared by the random-rollout and learner
+    kernels."""
+    u = _u16
     mca, mra = _slipped_move(aa, u(bits1, 0), q_int)
     mcb, mrb = _slipped_move(ab, u(bits1, 1), q_int)
 
@@ -151,14 +156,18 @@ def _step_once(carry, bits0, bits1, bits2, cfg: EnvConfig, q_int: int):
     goal = gr & ((ball_col == 0) | (ball_col == cfg.W - 1))
     r = jnp.where(goal,
                   jnp.where(ball_col == cfg.W - 1, 1, -1), 0).astype(jnp.int32)
+    return nra, nca, nrb, ncb, npz, goal, r
 
+
+def autoreset_core(nra, nca, nrb, ncb, npz, t, goal, bits2,
+                   cfg: EnvConfig):
+    """Truncation + uniform-ISD autoreset; returns updated fields, t,
+    trunc flag."""
     t = t + 1
     trunc = (t >= cfg.max_steps) & ~goal
     term = goal | trunc
-
-    # autoreset from the (uniform) ISD
     nI = 4 if len(cfg.goal_rows) % 2 == 0 else 2
-    isd_idx = u(bits2, 1) % nI
+    isd_idx = _u16(bits2, 1) % nI
     ira, ica, irb, icb, ip = _isd_lookup(isd_idx, cfg)
     nra = jnp.where(term, ira, nra)
     nca = jnp.where(term, ica, nca)
@@ -166,7 +175,17 @@ def _step_once(carry, bits0, bits1, bits2, cfg: EnvConfig, q_int: int):
     ncb = jnp.where(term, icb, ncb)
     npz = jnp.where(term, ip, npz)
     t = jnp.where(term, 0, t)
+    return nra, nca, nrb, ncb, npz, t, trunc
 
+
+def _step_once(carry, bits0, bits1, bits2, cfg: EnvConfig, q_int: int):
+    ra, ca, rb, cb, p, t, rew, goals, truncs = carry
+    aa = _u16(bits0, 0) % 5
+    ab = _u16(bits0, 1) % 5
+    nra, nca, nrb, ncb, npz, goal, r = transition_core(
+        ra, ca, rb, cb, p, aa, ab, bits1, bits2, cfg, q_int)
+    nra, nca, nrb, ncb, npz, t, trunc = autoreset_core(
+        nra, nca, nrb, ncb, npz, t, goal, bits2, cfg)
     return (nra, nca, nrb, ncb, npz, t,
             rew + r, goals + goal.astype(jnp.int32),
             truncs + trunc.astype(jnp.int32))
