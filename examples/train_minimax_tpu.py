@@ -26,7 +26,28 @@ def main():
     ap.add_argument("--envs", type=int, default=8192)
     ap.add_argument("--chunk", type=int, default=1000)
     ap.add_argument("--ckpt", type=str, default="")
+    ap.add_argument("--fused", action="store_true",
+                    help="use the pallas fused learner kernel "
+                         "(ops/learner_kernel.py, ~6x faster on-chip)")
     args = ap.parse_args()
+
+    if args.fused:
+        from gym_soccer_tpu.ops import learner_kernel as lk
+        cfg = EnvConfig(width=5, height=4, slip_prob=0.2)
+        n_chunks = max(1, args.steps // 64)
+        t0 = time.perf_counter()
+        q, v, pa, pb, hist = lk.fused_minimax_train(
+            cfg, batch=args.envs, n_chunks=n_chunks, chunk_len=64,
+            lr=0.3, eps=0.3, lr_halflife=args.steps // 5,
+            eps_halflife=args.steps // 3)
+        dt = time.perf_counter() - t0
+        steps = n_chunks * 64 * args.envs
+        log_json(event="finished_fused", env_steps=steps,
+                 seconds=round(dt, 1),
+                 env_steps_per_s=round(steps / dt),
+                 v_min=float(np.asarray(v).min()),
+                 v_max=float(np.asarray(v).max()))
+        return
 
     cfg = EnvConfig(width=5, height=4, slip_prob=0.2)
     lcfg = learners.MinimaxQConfig(lr=0.3, eps=0.3, resolve_every=64,
