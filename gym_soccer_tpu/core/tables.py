@@ -17,6 +17,7 @@ compacted lists.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import numpy as np
 
@@ -113,6 +114,7 @@ class StateSpace:
     isd_raw: np.ndarray
 
 
+@functools.lru_cache(maxsize=None)
 def build_statespace(cfg: EnvConfig) -> StateSpace:
     n_raw = cfg.n_raw
     raw = np.arange(n_raw, dtype=np.int32)

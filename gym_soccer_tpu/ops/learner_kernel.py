@@ -65,7 +65,8 @@ def _learner_kernel(seed_ref, m_ref, ra_ref, ca_ref, rb_ref, cb_ref,
     # ~0.4% rounding — the TD accumulator itself stays f32)
 
     def raw_of(ra, ca, rb, cb, p):
-        return ((((ra * cfg.W) + ca) * cfg.H + rb) * cfg.W + cb) * 2 + p
+        from ..core import rules
+        return rules.raw_encode(jnp, ra, ca, rb, cb, p, cfg)
 
     def gather_rows(raw):
         """one_hot(raw) @ M -> [RB, 128, 128] (policy/Q/v columns)."""
@@ -232,16 +233,11 @@ def unpack_acc(cfg: EnvConfig, acc) -> tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def init_state_fields(cfg: EnvConfig, batch: int):
-    """Lane-tiled initial state spread over the ISD (like the rollout
-    kernel's init)."""
-    from ..core import tables, rules
+    """Lane-tiled initial state spread over the ISD (shared helper with
+    the rollout kernel) plus a zeroed step counter."""
     shape = (batch // LANES, LANES)
-    _, raws = tables.build_isd(cfg)
-    fs = np.stack([np.array(rules.raw_decode(np, int(r), cfg), np.int32)
-                   for r in raws])
-    lane_isd = (np.arange(batch, dtype=np.int64) % len(raws)).reshape(shape)
-    fields = [jnp.asarray(fs[lane_isd, f]) for f in range(5)]
-    return tuple(fields) + (jnp.zeros(shape, jnp.int32),)
+    return sk.isd_spread_fields(cfg, batch, shape) + (
+        jnp.zeros(shape, jnp.int32),)
 
 
 def fused_minimax_train(cfg: EnvConfig, batch: int, n_chunks: int,
@@ -270,9 +266,6 @@ def fused_minimax_train(cfg: EnvConfig, batch: int, n_chunks: int,
     pi_b = jnp.full((nS, 5), 0.2, jnp.float32)
     fields = init_state_fields(cfg, batch)
 
-    rows = jnp.asarray(_raw_rows(cfg))
-    SP = spad(cfg)
-
     @jax.jit
     def between(q, acc, lr_now, eps_now):
         """Everything between kernel chunks in ONE jitted dispatch
@@ -281,13 +274,7 @@ def fused_minimax_train(cfg: EnvConfig, batch: int, n_chunks: int,
         sum_td, cnt = unpack_acc(cfg, acc)
         q = q + lr_now * sum_td / jnp.maximum(cnt, 1.0)
         v, pa, pb = solve_matrix_games(q, iters=solver_iters)
-        explore = eps_now / N_ACTIONS
-        m = jnp.zeros((SP, LANES), jnp.float32)
-        m = m.at[rows, COL_PI_A:COL_PI_A + 5].set(pa * (1 - eps_now) + explore)
-        m = m.at[rows, COL_PI_B:COL_PI_B + 5].set(pb * (1 - eps_now) + explore)
-        m = m.at[rows, COL_Q:COL_Q + NJ].set(q.reshape(q.shape[0], NJ))
-        m = m.at[rows, COL_V].set(v)
-        return q, v, pa, pb, m
+        return q, v, pa, pb, pack_m(cfg, pa, pb, q, v, eps_now)
 
     def decay(base, hl, k):
         return base * (0.5 ** (k * chunk_len / hl) if hl else 1.0)

@@ -92,6 +92,20 @@ def _slipped_move(a, u16, q_int: int):
     return jnp.where(keep, mc, omc), jnp.where(keep, mr, omr)
 
 
+def isd_spread_fields(cfg: EnvConfig, batch: int, shape):
+    """Lane-tiled initial state fields spread uniformly over the ISD.
+    (Starting every lane in the same ISD entry measurably biases aggregate
+    rewards: possession near your own goal is an own-goal risk under random
+    play — a ~5-sigma effect over 8192 first episodes.)"""
+    import numpy as np
+    from ..core import rules, tables
+    _, raws = tables.build_isd(cfg)
+    fs = np.stack([np.array(rules.raw_decode(np, int(r), cfg), np.int32)
+                   for r in raws])  # [nI, 5]
+    lane_isd = (np.arange(batch, dtype=np.int64) % len(raws)).reshape(shape)
+    return tuple(jnp.asarray(fs[lane_isd, f]) for f in range(5))
+
+
 def _isd_lookup(idx, cfg: EnvConfig):
     """Initial state fields by ISD index, arithmetically (nI is 2 or 4)."""
     from ..core import tables
@@ -230,18 +244,7 @@ def pallas_rollout(cfg: EnvConfig, seed: jax.Array, batch: int,
     shape = (batch // LANES, LANES)
     q_int = int(round(cfg.slip_prob * 65536))
 
-    # Start lanes spread uniformly over the ISD.  (Starting every lane in
-    # the same ISD entry measurably biases aggregate rewards: possession
-    # near your own goal is an own-goal risk under random play, a ~5-sigma
-    # effect over 8192 first episodes.)
-    from ..core import tables
-    import numpy as np
-    from ..core import rules as _rules
-    _, raws = tables.build_isd(cfg)
-    fs = np.stack([np.array(_rules.raw_decode(np, int(r), cfg), np.int32)
-                   for r in raws])  # [nI, 5]
-    lane_isd = (np.arange(batch, dtype=np.int64) % len(raws)).reshape(shape)
-    init = [jnp.asarray(fs[lane_isd, f]) for f in range(5)]
+    init = list(isd_spread_fields(cfg, batch, shape))
     t0 = jnp.zeros(shape, jnp.int32)
 
     kernel = functools.partial(_rollout_kernel, cfg=cfg, n_steps=n_steps,
