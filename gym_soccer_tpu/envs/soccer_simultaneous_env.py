@@ -18,6 +18,8 @@ Engineering differences from the reference:
 """
 from __future__ import annotations
 
+import bisect
+
 import numpy as np
 
 from .. import spaces
@@ -137,6 +139,10 @@ class SoccerSimultaneousEnv:
         self._P_readable = None
         self._Pmat = None
         self._Rmat = None
+        # Per-(state,action) sampling rows converted to Python lists on
+        # first use: single-env stepping is host-bound, and bisect over a
+        # cached float list beats numpy scalar indexing ~4x.
+        self._row_cache = {}
 
         self.needs_reset = True
         self.state = None
@@ -206,22 +212,34 @@ class SoccerSimultaneousEnv:
         else:
             row = int(action[only_agent])
 
-        cum = self._arr["t_cum"][s, row]
-        u = self.np_random.random()
-        i = _first_exceedance(cum, u)
-        if cum[i] <= u:  # no exceedance: reference argmax picks list head
-            i = int(self._arr["t_first"][s, row])
+        entry = self._row_cache.get((s, row))
+        if entry is None:
+            arr = self._arr
+            cum = arr["t_cum"][s, row].tolist()
+            # cache the np.round(prob, 2) the info dict needs (:405)
+            outs = [(float(p), rules.raw_decode(np, int(nr), self.cfg),
+                     float(r), bool(d), np.round(p, 2))
+                    for p, nr, r, d in zip(arr["t_prob"][s, row],
+                                           arr["t_next_raw"][s, row],
+                                           arr["t_reward"][s, row],
+                                           arr["t_done"][s, row])]
+            entry = self._row_cache[(s, row)] = (
+                cum, outs, int(arr["t_first"][s, row]))
 
-        prob = float(self._arr["t_prob"][s, row, i])
-        done = bool(self._arr["t_done"][s, row, i])
-        reward = float(self._arr["t_reward"][s, row, i])
+        cum, outs, first = entry
+        u = self.np_random.random()
+        # bisect_right == first index with cum > u (gym categorical_sample
+        # semantics); past-the-end falls back to the list head like the
+        # reference's argmax-over-all-False.
+        i = bisect.bisect_right(cum, u)
+        if i >= len(cum):
+            i = first
+
+        prob, ns_tuple, reward, done, prob_rounded = outs[i]
         if s == 0:
             # Absorbing goal state: the dense row's outcome points at the
             # class representative; the actual state self-loops (:300-301).
             ns_tuple = cur
-        else:
-            ns_tuple = rules.raw_decode(
-                np, int(self._arr["t_next_raw"][s, row, i]), self.cfg)
         self.state = ns_tuple
 
         self.observations = {a: self._state_to_observation(self.state)
@@ -234,7 +252,7 @@ class SoccerSimultaneousEnv:
         dones = {a: done for a in self.return_agent}
         truncateds = {a: self.timestep >= self.cfg.max_steps
                       for a in self.return_agent}
-        infos = {a: {"p": np.round(prob, 2)} for a in self.return_agent}
+        infos = {a: {"p": prob_rounded} for a in self.return_agent}
         self.needs_reset = any(dones.values()) or any(truncateds.values())
 
         return self.observations, rewards, dones, truncateds, infos
