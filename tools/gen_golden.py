@@ -13,6 +13,8 @@ import os
 import sys
 
 HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(HERE))  # repo root (refstub's
+# gym.spaces re-exports gym_soccer_tpu's space classes)
 sys.path.insert(0, os.path.join(HERE, "refstub"))
 sys.path.insert(0, "/root/reference")
 

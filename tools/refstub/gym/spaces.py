@@ -1,23 +1,8 @@
-"""Minimal gym.spaces stub: only what the reference constructor touches."""
+"""Minimal gym.spaces stub.
 
-
-class Discrete:
-    def __init__(self, n):
-        self.n = int(n)
-
-    def __repr__(self):
-        return f"Discrete({self.n})"
-
-
-class Dict:
-    def __init__(self, spaces_dict):
-        self.spaces = dict(spaces_dict)
-
-    def __getitem__(self, key):
-        return self.spaces[key]
-
-    def __contains__(self, key):
-        return key in self.spaces
-
-    def __repr__(self):
-        return f"Dict({self.spaces})"
+Re-exports gym_soccer_tpu's space classes: the API subset matches what the
+reference constructor uses (Discrete(n)/.n, Dict over a mapping, indexing,
+membership), and sharing classes lets the reference's own isinstance
+checks pass when its test suite runs against the TPU framework via
+tools/refcompat."""
+from gym_soccer_tpu.spaces import Dict, Discrete, MultiDiscrete  # noqa: F401
