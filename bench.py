@@ -13,14 +13,38 @@ single-env step loop at ~2.7e4 steps/s (the only measurable reference
 number — it publishes none; SURVEY.md §6).
 """
 import json
+import os
+import subprocess
+import sys
 import time
 
-import jax
-
-from gym_soccer_tpu.config import EnvConfig
-from gym_soccer_tpu.core import batch
-
 REFERENCE_STEPS_PER_S = 2.7e4  # reference step() loop, 1 CPU core (SURVEY §6)
+
+
+def device_alive(timeout_s: int = 150) -> bool:
+    """The tunneled TPU occasionally wedges (CLAUDE.md); probe it in a
+    subprocess so a dead device can't hang the whole benchmark."""
+    probe = ("import jax, numpy as np, jax.numpy as jnp;"
+             "print(int(np.asarray(jnp.arange(3).sum())))")
+    try:
+        out = subprocess.run([sys.executable, "-c", probe],
+                             capture_output=True, timeout=timeout_s)
+        return out.returncode == 0 and b"3" in out.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
+if __name__ == "__main__" and not device_alive():
+    # Fall back to the CPU backend so the driver still gets a JSON line.
+    os.environ["BENCH_FORCE_CPU"] = "1"
+
+import jax  # noqa: E402
+
+if os.environ.get("BENCH_FORCE_CPU"):
+    jax.config.update("jax_platforms", "cpu")
+
+from gym_soccer_tpu.config import EnvConfig  # noqa: E402
+from gym_soccer_tpu.core import batch  # noqa: E402
 
 CFG = EnvConfig(width=5, height=4, slip_prob=0.2)
 B, T = 8192, 1000
@@ -78,10 +102,14 @@ def bench_xla():
 
 
 def main():
-    try:
-        steps_per_s, path = bench_pallas()
-    except Exception:
+    if os.environ.get("BENCH_FORCE_CPU"):
         steps_per_s, path = bench_xla()
+        path = "xla_engine_CPU_FALLBACK_tpu_relay_unresponsive"
+    else:
+        try:
+            steps_per_s, path = bench_pallas()
+        except Exception:
+            steps_per_s, path = bench_xla()
     print(json.dumps({
         "metric": f"env_steps_per_s_per_chip_8192envs_{path}",
         "value": round(steps_per_s),
