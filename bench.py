@@ -6,11 +6,13 @@ Prints ONE JSON line:
 Config is BASELINE.json config 2/3 territory: 8192 env instances in
 lockstep, random-vs-random joint actions, default 5x4 Littman grid,
 slip 0.2.  Primary path is the fused pallas rollout kernel
-(gym_soccer_tpu/ops/step_kernel.py, whole rollout on-chip); falls back to
-the generic XLA engine (core/batch.py) if pallas is unavailable on the
-backend.  ``vs_baseline`` compares against the reference implementation's
-single-env step loop at ~2.7e4 steps/s (the only measurable reference
-number — it publishes none; SURVEY.md §6).
+(gym_soccer_tpu/ops/step_kernel.py) timed with the slope methodology
+(two kernel lengths, real host-fetch barriers — see CLAUDE.md on why
+naive timings lie on this tunneled backend).  The TPU attempt runs in a
+subprocess with a hard timeout because the relay occasionally wedges; on
+failure the CPU-backend XLA engine provides a clearly-labeled fallback
+line so the driver never hangs.  ``vs_baseline`` compares against the
+reference implementation's measured step loop (~2.7e4 steps/s, SURVEY §6).
 """
 import json
 import os
@@ -19,53 +21,58 @@ import sys
 import time
 
 REFERENCE_STEPS_PER_S = 2.7e4  # reference step() loop, 1 CPU core (SURVEY §6)
-
-
-def device_alive(timeout_s: int = 150) -> bool:
-    """The tunneled TPU occasionally wedges (CLAUDE.md); probe it in a
-    subprocess so a dead device can't hang the whole benchmark."""
-    probe = ("import jax, numpy as np, jax.numpy as jnp;"
-             "print(int(np.asarray(jnp.arange(3).sum())))")
-    try:
-        out = subprocess.run([sys.executable, "-c", probe],
-                             capture_output=True, timeout=timeout_s)
-        return out.returncode == 0 and b"3" in out.stdout
-    except subprocess.TimeoutExpired:
-        return False
-
-
-if __name__ == "__main__" and not device_alive():
-    # Fall back to the CPU backend so the driver still gets a JSON line.
-    os.environ["BENCH_FORCE_CPU"] = "1"
-
-import jax  # noqa: E402
-
-if os.environ.get("BENCH_FORCE_CPU"):
-    jax.config.update("jax_platforms", "cpu")
-
-from gym_soccer_tpu.config import EnvConfig  # noqa: E402
-from gym_soccer_tpu.core import batch  # noqa: E402
-
-CFG = EnvConfig(width=5, height=4, slip_prob=0.2)
 B, T = 8192, 1000
 
 
-def bench_pallas():
-    """Slope methodology: median wall time (with a real host value fetch as
-    the barrier — block_until_ready is unreliable on tunneled backends) at
-    two kernel lengths; throughput = d(steps)/d(wall).  This cancels
-    dispatch/transfer latency exactly.  T capped at 20k — this
-    environment's relay wedges on longer-running kernels."""
-    import numpy as np
-    from gym_soccer_tpu.ops.step_kernel import pallas_rollout
+def bench_device_subprocess(timeout_s: int = 480):
+    """Full TPU benchmark in a child process with a hard timeout."""
+    code = (
+        "from bench import bench_pallas, bench_xla\n"
+        "import json\n"
+        "try:\n"
+        "    v, p = bench_pallas()\n"
+        "except Exception:\n"
+        "    v, p = bench_xla()\n"
+        "print('BENCH_RESULT ' + json.dumps([v, p]))\n"
+    )
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=timeout_s, env={**os.environ, "BENCH_CHILD": "1"},
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+    except subprocess.TimeoutExpired:
+        return None
+    for line in out.stdout.splitlines():
+        if line.startswith("BENCH_RESULT "):
+            v, p = json.loads(line[len("BENCH_RESULT "):])
+            return float(v), str(p)
+    return None
 
-    def measure(T, n=8):
-        _, st = pallas_rollout(CFG, jax.numpy.int32(0), B, T)
+
+def _jax():
+    import jax
+    if os.environ.get("BENCH_FORCE_CPU"):
+        jax.config.update("jax_platforms", "cpu")
+    return jax
+
+
+def bench_pallas():
+    """Slope methodology: median wall time (host value fetch as barrier)
+    at two kernel lengths; throughput = d(steps)/d(wall).  T capped at
+    20k — longer-running kernels wedge this environment's relay."""
+    import numpy as np
+    jax = _jax()
+    from gym_soccer_tpu.config import EnvConfig
+    from gym_soccer_tpu.ops.step_kernel import pallas_rollout
+    cfg = EnvConfig(width=5, height=4, slip_prob=0.2)
+
+    def measure(T_k, n=8):
+        _, st = pallas_rollout(cfg, jax.numpy.int32(0), B, T_k)
         int(np.asarray(st[1]))  # warmup + compile
         ws = []
         for i in range(n):
             t0 = time.perf_counter()
-            _, st = pallas_rollout(CFG, jax.numpy.int32(i + 1), B, T)
+            _, st = pallas_rollout(cfg, jax.numpy.int32(i + 1), B, T_k)
             int(np.asarray(st[1]))
             ws.append(time.perf_counter() - t0)
         return sorted(ws)[n // 2]
@@ -79,42 +86,47 @@ def bench_pallas():
 
 
 def bench_xla():
-    pol = batch.random_policy_fn(CFG, jax.random.key(1), B)
+    import numpy as np
+    jax = _jax()
+    from gym_soccer_tpu.config import EnvConfig
+    from gym_soccer_tpu.core import batch
+    cfg = EnvConfig(width=5, height=4, slip_prob=0.2)
+    pol = batch.random_policy_fn(cfg, jax.random.key(1), B)
 
     @jax.jit
     def init(key):
-        return batch.init(CFG, key, B)
+        return batch.init(cfg, key, B)
 
     @jax.jit
     def chunk(s):
-        s, out = batch.rollout(CFG, s, pol, T)
+        s, out = batch.rollout(cfg, s, pol, T)
         return s, out.reward_a.sum()
 
-    st = jax.block_until_ready(init(jax.random.key(0)))
-    st, _ = jax.block_until_ready(chunk(st))
+    st = init(jax.random.key(0))
+    st, r = chunk(st)
+    float(np.asarray(r))
     n = 5
     t0 = time.perf_counter()
     for _ in range(n):
-        st, _ = chunk(st)
-    jax.block_until_ready(st)
+        st, r = chunk(st)
+    float(np.asarray(r))
     dt = (time.perf_counter() - t0) / n
     return B * T / dt, "xla_engine"
 
 
 def main():
-    if os.environ.get("BENCH_FORCE_CPU"):
-        steps_per_s, path = bench_xla()
+    result = bench_device_subprocess()
+    if result is None:
+        os.environ["BENCH_FORCE_CPU"] = "1"
+        v, _ = bench_xla()
         path = "xla_engine_CPU_FALLBACK_tpu_relay_unresponsive"
     else:
-        try:
-            steps_per_s, path = bench_pallas()
-        except Exception:
-            steps_per_s, path = bench_xla()
+        v, path = result
     print(json.dumps({
         "metric": f"env_steps_per_s_per_chip_8192envs_{path}",
-        "value": round(steps_per_s),
+        "value": round(v),
         "unit": "env-steps/s",
-        "vs_baseline": round(steps_per_s / REFERENCE_STEPS_PER_S, 1),
+        "vs_baseline": round(v / REFERENCE_STEPS_PER_S, 1),
     }))
 
 
