@@ -153,8 +153,52 @@ def build_statespace(cfg: EnvConfig) -> StateSpace:
         goal_raw=goal_raw, isd_probs=isd_probs, isd_raw=isd_raw)
 
 
-def build_tables(cfg: EnvConfig) -> GameTables:
+def build_tables(cfg: EnvConfig, backend: str | None = None) -> GameTables:
+    """Build the full padded transition tensors.
+
+    ``backend``: 'native' (C++ threaded builder), 'numpy' (vectorized
+    broadcast), or None = the GYM_SOCCER_TPU_TABLES env var, defaulting to
+    'auto' (native when the toolchain is available, else numpy).  Both
+    backends produce byte-identical tensors (tests/test_native.py); native
+    is ~40x faster and allocation-free for large grids."""
+    import os
+
     ss = build_statespace(cfg)
+    if backend is None:
+        backend = os.environ.get("GYM_SOCCER_TPU_TABLES", "auto")
+    if backend in ("auto", "native"):
+        tb = _build_tables_native(cfg, ss)
+        if tb is not None:
+            return tb
+        if backend == "native":
+            raise RuntimeError("native table builder unavailable "
+                               "(g++ missing or build failed)")
+    return _build_tables_numpy(cfg, ss)
+
+
+def _from_parts(cfg: EnvConfig, ss: StateSpace, parts: dict) -> GameTables:
+    return GameTables(
+        cfg=cfg, nS=ss.nS,
+        raw_to_dense=ss.raw_to_dense, dense_to_raw=ss.dense_to_raw,
+        fields=ss.fields, goal_mask_raw=ss.goal_mask_raw,
+        goal_reward_raw=ss.goal_reward_raw,
+        unreachable_raw=ss.unreachable_raw, goal_raw=ss.goal_raw,
+        isd_probs=ss.isd_probs, isd_raw=ss.isd_raw, **parts)
+
+
+def _build_tables_native(cfg: EnvConfig, ss: StateSpace) -> GameTables | None:
+    from .. import native
+
+    lo, hi = cfg.goal_row_bounds
+    parts = native.build_tables_arrays(
+        cfg.W, cfg.H, lo, hi, cfg.combo_probs(), ss.dense_to_raw,
+        ss.raw_to_dense, ss.goal_mask_raw, ss.goal_reward_raw)
+    if parts is None:
+        return None
+    return _from_parts(cfg, ss, parts)
+
+
+def _build_tables_numpy(cfg: EnvConfig, ss: StateSpace) -> GameTables:
     nS = ss.nS
     raw_to_dense = ss.raw_to_dense
     dense_to_raw = ss.dense_to_raw
