@@ -1,0 +1,183 @@
+"""Vectorized environment facade: gym.vector-style API over the batched
+TPU engine.
+
+The reference is a single-instance env (soccer_simultaneous_env.py:375-424,
+one dict step at a time); its ecosystem's standard scale-out surface is
+``gym.vector`` — batched reset/step over numpy arrays with autoreset and
+``final_observation`` reporting.  This facade provides exactly that surface
+on top of core/batch.py: one jitted lockstep transition per call, numpy in /
+numpy out, thousands of instances per step on a TPU chip.
+
+Operating modes mirror the reference ctor contract (:35-58):
+
+* **multiagent** (no frozen policies): actions are a dict
+  ``{"player_a": int array [N], "player_b": int array [N]}``; rewards,
+  terminations, truncations and infos are dicts keyed the same way, with
+  ``player_b`` rewards the negation of ``player_a`` (zero-sum, :400-402).
+* **single-agent** (exactly one frozen opponent policy, a dict or array
+  mapping dense state -> action): actions are a bare int array [N] for the
+  learning agent; the opponent's action is looked up on device from its
+  policy table (reference substitutes it at table-build time, :187-188);
+  rewards are sign-flipped when the learner is player B (:242-244).
+
+Autoreset follows gym.vector semantics: instances that terminate or
+truncate return the NEXT episode's first observation, and the pre-reset
+terminal observation is reported in ``infos["final_observation"]`` with
+the standard ``infos["_final_observation"]`` mask.
+
+For maximum throughput keep rollouts on device instead (core/batch.rollout
+or ops/step_kernel.pallas_rollout); this facade pays one host round trip
+per call by design — it exists for API compatibility and host-driven loops.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import spaces
+from ..config import EnvConfig, N_ACTIONS
+from ..core import batch, tables
+
+
+class SoccerVectorEnv:
+    """Batched Littman-soccer environment with a gym.vector-style API."""
+
+    metadata = {"render_modes": []}
+
+    def __init__(self, num_envs: int, width: int = 5, height: int = 4,
+                 slip_prob: float = 0.0, player_a_policy=None,
+                 player_b_policy=None, seed: int = 0):
+        assert player_a_policy is None or player_b_policy is None, \
+            "Cannot freeze both players (reference ctor assert :38)."
+        self.num_envs = int(num_envs)
+        self.cfg = EnvConfig(width=width, height=height,
+                             slip_prob=float(slip_prob))
+        self.nS = tables.build_statespace(self.cfg).nS
+        self.nA = N_ACTIONS
+
+        self._frozen = ("player_a" if player_a_policy is not None else
+                        "player_b" if player_b_policy is not None else None)
+        self.agents = (["player_a", "player_b"] if self._frozen is None else
+                       ["player_b" if self._frozen == "player_a" else
+                        "player_a"])
+        pol = player_a_policy if player_a_policy is not None \
+            else player_b_policy
+        self._policy = None if pol is None else _policy_array(pol, self.nS)
+
+        self.single_observation_space = spaces.Discrete(self.nS)
+        self.single_action_space = spaces.Discrete(self.nA)
+        self.observation_space = spaces.Dict(
+            {a: spaces.MultiDiscrete([self.nS] * self.num_envs)
+             for a in self.agents})
+        self.action_space = spaces.Dict(
+            {a: spaces.MultiDiscrete([self.nA] * self.num_envs)
+             for a in self.agents})
+
+        self._seed = int(seed)
+        self._state = None  # device EnvState; set by reset()
+
+        cfg = self.cfg
+
+        @jax.jit
+        def _init(key):
+            return batch.init(cfg, key, self.num_envs)
+
+        pol_arr = (None if self._policy is None
+                   else jnp.asarray(self._policy, jnp.int32))
+        frozen = self._frozen
+
+        @jax.jit
+        def _step(state, acts):
+            if frozen is None:
+                aa, ab = acts[0], acts[1]
+            else:
+                obs = batch.observe(cfg, state)
+                frozen_act = pol_arr[obs]
+                learner = acts[0]
+                aa = frozen_act if frozen == "player_a" else learner
+                ab = frozen_act if frozen == "player_b" else learner
+            state, out = batch.step(cfg, state, aa, ab)
+            return state, (out.obs, out.reward_a, out.done, out.truncated,
+                           out.final_obs)
+
+        self._init_fn = _init
+        self._step_fn = _step
+
+    # -- gym.vector surface ------------------------------------------------
+
+    def reset(self, seed: int | None = None):
+        """Reset ALL instances.  Returns (obs, infos)."""
+        if seed is not None:
+            self._seed = int(seed)
+        self._state = self._init_fn(jax.random.key(self._seed))
+        obs = np.asarray(batch.observe(self.cfg, self._state))
+        return self._keyed(obs), {}
+
+    def step(self, actions):
+        """Lockstep transition of the whole batch (numpy in / numpy out)."""
+        assert self._state is not None, "reset() must be called before step()"
+        acts = self._coerce_actions(actions)
+        self._state, out = self._step_fn(self._state, acts)
+        obs, reward_a, done, trunc, final_obs = (np.asarray(o) for o in out)
+
+        infos: dict = {}
+        ended = done | trunc
+        if ended.any():
+            infos["final_observation"] = np.where(ended, final_obs, 0)
+            infos["_final_observation"] = ended
+
+        ra = reward_a.astype(np.float64)
+        # player_b's reward is the negation (zero-sum, :400-402); this also
+        # realizes the single-agent-as-B sign flip (:242-244).
+        rewards = {"player_a": ra, "player_b": -ra}
+        return (self._keyed(obs),
+                {a: rewards[a] for a in self.agents},
+                {a: done.copy() for a in self.agents},
+                {a: trunc.copy() for a in self.agents},
+                infos)
+
+    def close(self):
+        self._state = None
+
+    # -- helpers -----------------------------------------------------------
+
+    def _keyed(self, arr: np.ndarray):
+        """Multiagent mode returns per-agent dicts (both agents see the same
+        full-state index, like the reference's obs dicts :397); single-agent
+        mode returns the bare array."""
+        if self._frozen is None:
+            return {a: arr.copy() for a in self.agents}
+        return arr
+
+    def _coerce_actions(self, actions) -> jnp.ndarray:
+        N = self.num_envs
+        if self._frozen is None:
+            assert isinstance(actions, dict) and set(actions) == {
+                "player_a", "player_b"}, \
+                "multiagent mode takes {'player_a': [N], 'player_b': [N]}"
+            aa = np.asarray(actions["player_a"], np.int32).reshape(N)
+            ab = np.asarray(actions["player_b"], np.int32).reshape(N)
+            return jnp.stack([jnp.asarray(aa), jnp.asarray(ab)])
+        a = np.asarray(actions, np.int32).reshape(N)
+        return jnp.asarray(a)[None, :]
+
+    @property
+    def device_state(self) -> batch.EnvState:
+        """The underlying device EnvState — escape hatch for staying
+        on-device (e.g. handing off to core/batch.rollout)."""
+        return self._state
+
+
+def _policy_array(policy, nS: int) -> np.ndarray:
+    """Accept the reference's dict[state->action] or an int array [nS]."""
+    if isinstance(policy, dict):
+        arr = np.zeros(nS, np.int32)
+        for s, a in policy.items():
+            arr[int(s)] = int(a)
+        return arr
+    arr = np.asarray(policy, np.int32)
+    assert arr.shape == (nS,), f"policy must have shape ({nS},)"
+    return arr

@@ -1,0 +1,129 @@
+"""SoccerVectorEnv: the gym.vector-style batched facade.
+
+Covers the multiagent and frozen-opponent single-agent contracts, autoreset
+with final_observation reporting, seeding determinism, and distributional
+sanity of rewards under random play.
+"""
+import numpy as np
+import pytest
+
+from gym_soccer_tpu.envs import SoccerVectorEnv
+
+N = 64
+
+
+@pytest.fixture(scope="module")
+def venv():
+    env = SoccerVectorEnv(N, width=5, height=4, slip_prob=0.2, seed=0)
+    env.reset(seed=7)
+    return env
+
+
+def test_reset_shapes_and_keys(venv):
+    obs, infos = venv.reset(seed=7)
+    assert set(obs) == {"player_a", "player_b"}
+    for a in obs:
+        assert obs[a].shape == (N,) and obs[a].dtype == np.int32
+        assert (obs[a] > 0).all() and (obs[a] < venv.nS).all()
+    assert np.array_equal(obs["player_a"], obs["player_b"])
+    assert infos == {}
+
+
+def test_step_contract_multiagent(venv):
+    venv.reset(seed=7)
+    acts = {"player_a": np.full(N, 3), "player_b": np.full(N, 4)}
+    obs, rew, done, trunc, infos = venv.step(acts)
+    assert set(rew) == {"player_a", "player_b"}
+    assert np.array_equal(rew["player_a"], -rew["player_b"])  # zero-sum
+    for d in (done, trunc):
+        assert d["player_a"].dtype == bool and d["player_a"].shape == (N,)
+    assert set(np.unique(rew["player_a"])) <= {-1.0, 0.0, 1.0}
+
+
+def test_autoreset_and_final_observation(venv):
+    venv.reset(seed=3)
+    rng = np.random.RandomState(0)
+    saw_end = False
+    for _ in range(150):
+        acts = {"player_a": rng.randint(0, 5, N),
+                "player_b": rng.randint(0, 5, N)}
+        obs, rew, done, trunc, infos = venv.step(acts)
+        ended = done["player_a"] | trunc["player_a"]
+        if ended.any():
+            saw_end = True
+            assert np.array_equal(infos["_final_observation"], ended)
+            # goal terminations report the terminal obs 0; truncations
+            # report the ordinary (nonzero) last state
+            goals = done["player_a"]
+            assert (infos["final_observation"][goals] == 0).all()
+            # after autoreset the returned obs is a fresh start state
+            assert (obs["player_a"][ended] > 0).all()
+        else:
+            assert "final_observation" not in infos
+        # rewards only on goal terminations
+        assert (rew["player_a"][~done["player_a"]] == 0).all()
+        assert (rew["player_a"][done["player_a"]] != 0).all()
+    assert saw_end, "150 random steps at 100-step truncation must end episodes"
+
+
+def test_seeding_determinism():
+    def run(seed):
+        env = SoccerVectorEnv(16, width=5, height=4, slip_prob=0.2)
+        obs, _ = env.reset(seed=seed)
+        tot = [obs["player_a"]]
+        rng = np.random.RandomState(1)
+        for _ in range(40):
+            acts = {"player_a": rng.randint(0, 5, 16),
+                    "player_b": rng.randint(0, 5, 16)}
+            obs, rew, *_ = env.step(acts)
+            tot.append(obs["player_a"])
+        return np.stack(tot)
+
+    a, b, c = run(11), run(11), run(12)
+    assert np.array_equal(a, b)
+    assert not np.array_equal(a, c)
+
+
+def test_single_agent_mode_frozen_b():
+    """Learner A marching EAST against a standing B: A either starts with
+    the ball or steals it by walking into the NOOP'er (collision rule 2,
+    deterministic flip), then scores right — positive return, many goals."""
+    from gym_soccer_tpu.utils.policies import get_stand_policy
+    env = SoccerVectorEnv(32, width=5, height=4, slip_prob=0.0,
+                          player_b_policy=get_stand_policy(761))
+    assert env.agents == ["player_a"]
+    obs, _ = env.reset(seed=5)
+    assert isinstance(obs, np.ndarray) and obs.shape == (32,)
+    total, goals = 0.0, 0
+    for _ in range(120):
+        obs, rew, done, trunc, infos = env.step(np.full(32, 3))  # all EAST
+        assert set(rew) == {"player_a"}
+        total += rew["player_a"].sum()
+        goals += int(done["player_a"].sum())
+    assert goals > 50 and total > 0
+
+
+def test_single_agent_mode_frozen_a_sign_flip():
+    """Learner B marching WEST against a frozen standing A scores into the
+    LEFT goal: A-perspective reward is -1, so B — whose rewards are the
+    negation (:242-244, :400-402) — must see a POSITIVE return."""
+    from gym_soccer_tpu.utils.policies import get_stand_policy
+    env = SoccerVectorEnv(32, width=5, height=4, slip_prob=0.0,
+                          player_a_policy=get_stand_policy(761))
+    obs, _ = env.reset(seed=9)
+    assert env.agents == ["player_b"]
+    total, goals = 0.0, 0
+    for _ in range(120):
+        obs, rew, done, trunc, infos = env.step(np.full(32, 4))  # all WEST
+        total += rew["player_b"].sum()
+        goals += int(done["player_b"].sum())
+    assert goals > 50 and total > 0
+
+
+def test_action_validation(venv):
+    venv.reset(seed=1)
+    with pytest.raises(AssertionError):
+        venv.step(np.zeros(N, np.int32))  # multiagent needs a dict
+    env1 = SoccerVectorEnv(8, width=5, height=4)
+    with pytest.raises(AssertionError):
+        env1.step({"player_a": np.zeros(8)})  # step before reset
