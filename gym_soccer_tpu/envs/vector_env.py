@@ -77,6 +77,7 @@ class SoccerVectorEnv:
              for a in self.agents})
 
         self._seed = int(seed)
+        self._reset_count = 0
         self._state = None  # device EnvState; set by reset()
 
         cfg = self.cfg
@@ -109,10 +110,19 @@ class SoccerVectorEnv:
     # -- gym.vector surface ------------------------------------------------
 
     def reset(self, seed: int | None = None):
-        """Reset ALL instances.  Returns (obs, infos)."""
+        """Reset ALL instances.  Returns (obs, infos).
+
+        Gym semantics: an explicit ``seed`` reseeds the env (identical
+        trajectories thereafter); a bare ``reset()`` continues the seeded
+        stream (each call starts fresh, distinct episodes)."""
         if seed is not None:
             self._seed = int(seed)
-        self._state = self._init_fn(jax.random.key(self._seed))
+            self._reset_count = 0
+        key = jax.random.key(self._seed)
+        if self._reset_count:
+            key = jax.random.fold_in(key, self._reset_count)
+        self._reset_count += 1
+        self._state = self._init_fn(key)
         obs = np.asarray(batch.observe(self.cfg, self._state))
         return self._keyed(obs), {}
 

@@ -127,3 +127,25 @@ def test_action_validation(venv):
     env1 = SoccerVectorEnv(8, width=5, height=4)
     with pytest.raises(AssertionError):
         env1.step({"player_a": np.zeros(8)})  # step before reset
+
+
+def test_reset_semantics_reseed_vs_continue():
+    """Explicit seed => identical restart; bare reset() => fresh episodes."""
+    env = SoccerVectorEnv(16, width=5, height=4, slip_prob=0.2)
+    a, _ = env.reset(seed=4)
+
+    def advance(env, n=10):
+        rng = np.random.RandomState(2)
+        for _ in range(n):
+            obs, *_ = env.step({"player_a": rng.randint(0, 5, 16),
+                                "player_b": rng.randint(0, 5, 16)})
+        return obs
+
+    t1 = advance(env)
+    b, _ = env.reset()           # continue the stream: new episodes
+    t2 = advance(env)
+    c, _ = env.reset(seed=4)     # reseed: replay exactly
+    assert np.array_equal(a["player_a"], c["player_a"])
+    t3 = advance(env)
+    assert np.array_equal(t1["player_a"], t3["player_a"])
+    assert not np.array_equal(t1["player_a"], t2["player_a"])
