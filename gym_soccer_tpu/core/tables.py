@@ -166,6 +166,9 @@ def build_tables(cfg: EnvConfig, backend: str | None = None) -> GameTables:
     ss = build_statespace(cfg)
     if backend is None:
         backend = os.environ.get("GYM_SOCCER_TPU_TABLES", "auto")
+    if backend not in ("auto", "native", "numpy"):
+        raise ValueError(f"unknown tables backend {backend!r} "
+                         "(expected 'auto', 'native' or 'numpy')")
     if backend in ("auto", "native"):
         tb = _build_tables_native(cfg, ss)
         if tb is not None:

@@ -131,7 +131,9 @@ class SoccerVectorEnv:
         assert self._state is not None, "reset() must be called before step()"
         acts = self._coerce_actions(actions)
         self._state, out = self._step_fn(self._state, acts)
-        obs, reward_a, done, trunc, final_obs = (np.asarray(o) for o in out)
+        # One batched transfer: per-array np.asarray would pay one host
+        # round trip EACH (~0.4 s apiece on relayed TPU backends).
+        obs, reward_a, done, trunc, final_obs = jax.device_get(out)
 
         infos: dict = {}
         ended = done | trunc
@@ -182,11 +184,18 @@ class SoccerVectorEnv:
 
 
 def _policy_array(policy, nS: int) -> np.ndarray:
-    """Accept the reference's dict[state->action] or an int array [nS]."""
+    """Accept the reference's dict[state->action] or an int array [nS].
+
+    A dict must cover every dense state: the reference raises KeyError for
+    uncovered states at table-build time (soccer_simultaneous_env.py:188);
+    silently defaulting them to NOOP would corrupt results."""
     if isinstance(policy, dict):
-        arr = np.zeros(nS, np.int32)
-        for s, a in policy.items():
-            arr[int(s)] = int(a)
+        missing = [s for s in range(nS) if s not in policy]
+        if missing:
+            raise KeyError(
+                f"frozen policy missing {len(missing)} of {nS} states "
+                f"(first: {missing[:5]})")
+        arr = np.array([int(policy[s]) for s in range(nS)], np.int32)
         return arr
     arr = np.asarray(policy, np.int32)
     assert arr.shape == (nS,), f"policy must have shape ({nS},)"

@@ -37,18 +37,29 @@ def _load(name: str, configure) -> object | None:
         so = os.path.join(_HERE, f"_{name}.so")
         if not os.path.exists(so) or (
                 os.path.getmtime(so) < os.path.getmtime(src)):
+            # Compile to a process-unique temp path and rename into place:
+            # os.rename is atomic, so concurrent processes racing on
+            # build-on-first-use each dlopen a fully-written library.
+            tmp = f"{so}.{os.getpid()}.tmp"
             try:
                 subprocess.run(
                     ["g++", "-O3", "-shared", "-fPIC", "-pthread", src,
-                     "-o", so],
+                     "-o", tmp],
                     check=True, capture_output=True, timeout=180)
+                os.rename(tmp, so)
             except Exception:
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
                 return None
         try:
             lib = ctypes.CDLL(so)
             configure(lib)
             _libs[name] = lib
-        except OSError:
+        except (OSError, AttributeError):
+            # unreadable library, or a stale/foreign .so lacking the
+            # expected symbols — fall back transparently
             pass
         return _libs[name]
 

@@ -94,18 +94,26 @@ def parent() -> int:
     baseline = _extract(base.stdout)
     assert baseline, f"baseline failed:\n{base.stdout}\n{base.stderr}"
 
-    # 2. two real processes, 4 devices each, gloo-connected
+    # 2. two real processes, 4 devices each, gloo-connected.  Any failure
+    # or timeout must kill BOTH workers (by exact PID): a surviving worker
+    # blocks in gloo forever and keeps the coordinator port bound.
     procs = [subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), "--worker", str(i), "2"],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
         for i in range(2)]
     results = []
-    for p in procs:
-        out, err = p.communicate(timeout=600)
-        r = _extract(out)
-        assert p.returncode == 0 and r, \
-            f"worker failed (rc={p.returncode}):\n{out}\n{err}"
-        results.append(r)
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=420)
+            r = _extract(out)
+            assert p.returncode == 0 and r, \
+                f"worker failed (rc={p.returncode}):\n{out}\n{err}"
+            results.append(r)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
 
     # 3a. the two gloo-connected processes must agree BIT-EXACTLY — they
     # share one global computation, so any divergence is a real bug.
