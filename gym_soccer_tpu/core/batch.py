@@ -104,12 +104,39 @@ def init(cfg: EnvConfig, key: jax.Array, batch: int) -> EnvState:
     return _reset_where(cfg, st, jnp.ones(batch, dtype=bool))
 
 
-def per_env_uniforms(state: EnvState, count: int, salt: int = 0) -> jax.Array:
-    """[B, count] uniforms from fold_in(key_i, n_i) — placement-invariant.
+def per_env_uniforms(state: EnvState, count: int, salt: int = 0,
+                     rng: str = "threefry") -> jax.Array:
+    """[B, count] uniforms from (key_i, n_i) — placement-invariant.
 
     ``salt`` separates independent consumer streams (0 = the env transition
     itself; learners/policies use nonzero salts so action sampling never
-    correlates with slip/collision draws)."""
+    correlates with slip/collision draws).
+
+    ``rng``: 'threefry' (default) uses jax.random fold_in/uniform — the
+    strongest stream, but ~2 threefry blocks per consumer per step.
+    'counter' uses the same murmur3-finalizer counter construction as the
+    pallas rollout kernel (ops/step_kernel.py) — a handful of fusable
+    elementwise int ops, 24-bit uniforms, statistically validated; choose
+    it for throughput-bound rollouts.  Both are pure functions of
+    (per-instance key, draw counter, salt): placement-invariant either way.
+    """
+    if rng == "counter":
+        from ..ops.step_kernel import _fmix32
+        kd = jax.random.key_data(state.key).astype(jnp.uint32)  # [B, 2]
+        base = kd[..., 0] ^ _fmix32(kd[..., 1])
+        n = state.n.astype(jnp.uint32)
+        cols = []
+        for w in range(count):
+            c = (n * jnp.uint32(0x85EBCA77)
+                 + jnp.uint32((w * 0xC2B2AE3D + salt * 0x9E3779B9)
+                              & 0xFFFFFFFF))
+            bits = _fmix32(_fmix32(base ^ c) + c)
+            cols.append((bits >> 8).astype(jnp.float32)
+                        * jnp.float32(1.0 / (1 << 24)))
+        return jnp.stack(cols, axis=-1)
+    if rng != "threefry":
+        raise ValueError(f"unknown rng mode {rng!r} "
+                         "(expected 'threefry' or 'counter')")
     sub = jax.vmap(jax.random.fold_in)(state.key, state.n.astype(jnp.uint32))
     if salt:
         sub = jax.vmap(jax.random.fold_in, (0, None))(sub, jnp.uint32(salt))
@@ -131,9 +158,10 @@ def _sample_isd(cfg: EnvConfig, u: jax.Array):
     return f[:, 0], f[:, 1], f[:, 2], f[:, 3], f[:, 4]
 
 
-def _reset_where(cfg: EnvConfig, state: EnvState, mask: jax.Array) -> EnvState:
+def _reset_where(cfg: EnvConfig, state: EnvState, mask: jax.Array,
+                 rng: str = "threefry") -> EnvState:
     """Re-sample initial states for masked instances (consumes one draw)."""
-    u = _per_env_uniforms(state, 1)[:, 0]
+    u = _per_env_uniforms(state, 1, rng=rng)[:, 0]
     ra, ca, rb, cb, p = _sample_isd(cfg, u)
     pick = lambda new, old: jnp.where(mask, new, old)
     return EnvState(
@@ -165,7 +193,8 @@ def _slip_variant(cfg: EnvConfig, u: jax.Array) -> jax.Array:
 
 def step(cfg: EnvConfig, state: EnvState,
          actions_a: jax.Array, actions_b: jax.Array,
-         autoreset: bool = True) -> tuple[EnvState, StepOut]:
+         autoreset: bool = True,
+         rng: str = "threefry") -> tuple[EnvState, StepOut]:
     """One lockstep transition for the whole batch.
 
     Factored sampling: slip variant per player, then one categorical over
@@ -173,7 +202,7 @@ def step(cfg: EnvConfig, state: EnvState,
     the reference's single categorical over the unmerged 36-entry list.
     """
     mv = jnp.asarray(_MOVE_VARIANTS)
-    u = _per_env_uniforms(state, 4)
+    u = _per_env_uniforms(state, 4, rng=rng)
 
     va = _slip_variant(cfg, u[:, 0])
     vb = _slip_variant(cfg, u[:, 1])
@@ -216,7 +245,7 @@ def step(cfg: EnvConfig, state: EnvState,
     final_obs = observe(cfg, mid)
 
     if autoreset:
-        new_state = _reset_where(cfg, mid, done | truncated)
+        new_state = _reset_where(cfg, mid, done | truncated, rng=rng)
     else:
         new_state = mid
     return new_state, StepOut(obs=observe(cfg, new_state),
@@ -224,14 +253,15 @@ def step(cfg: EnvConfig, state: EnvState,
                               truncated=truncated, final_obs=final_obs)
 
 
-def rollout(cfg: EnvConfig, state: EnvState, policy_fn, n_steps: int):
+def rollout(cfg: EnvConfig, state: EnvState, policy_fn, n_steps: int,
+            rng: str = "threefry"):
     """`lax.scan` rollout: policy_fn(obs, step_key) -> (actions_a,
     actions_b).  Returns final state and stacked StepOut trajectory."""
     def body(carry, i):
         st = carry
         obs = observe(cfg, st)
         aa, ab = policy_fn(obs, i)
-        st, out = step(cfg, st, aa, ab)
+        st, out = step(cfg, st, aa, ab, rng=rng)
         return st, out
 
     return jax.lax.scan(body, state, jnp.arange(n_steps))

@@ -178,6 +178,15 @@ def learner_chunk(cfg: EnvConfig, seed, m_packed, state_fields,
     assert batch % (RB * LANES) == 0
     shape = (batch // LANES, LANES)
     SP = spad(cfg)
+    # M + acc are VMEM-resident [SP, 128] f32 planes; beyond ~14 MB total
+    # Mosaic cannot place them.  The generic XLA learner (agents/learners)
+    # has no such limit — it keeps tables in HBM.
+    vmem_mb = 2 * SP * LANES * 4 / 2**20
+    if vmem_mb > 14:
+        raise ValueError(
+            f"grid too large for the fused learner kernel: packed tables "
+            f"need ~{vmem_mb:.0f} MB of VMEM (raw state space {cfg.n_raw}); "
+            f"use agents.learners.minimax_train (HBM tables) instead")
     q_int = int(round(cfg.slip_prob * 65536))
     kernel = functools.partial(
         _learner_kernel, cfg=cfg, n_steps=n_steps, q_int=q_int, gamma=gamma)

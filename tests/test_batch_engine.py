@@ -106,3 +106,50 @@ def test_huge_grid_without_tables():
     _, out = jax.jit(lambda s: batch.rollout(cfg, s, pol, 100))(st)
     assert np.asarray(out.obs).min() >= 1
     assert batch.tables.build_statespace(cfg).nS > 2_000_000
+
+
+class TestCounterRng:
+    """The opt-in 'counter' RNG mode (murmur3 counters, same construction
+    as the pallas kernel) must be deterministic, placement-invariant, and
+    distributionally indistinguishable from the threefry default."""
+
+    def test_deterministic_and_distinct_from_threefry(self):
+        st = jax.jit(lambda k: batch.init(CFG, k, 256))(jax.random.key(0))
+        pol = batch.random_policy_fn(CFG, jax.random.key(1), 256)
+        run = lambda mode: jax.jit(
+            lambda s: batch.rollout(CFG, s, pol, 50, rng=mode))(st)
+        _, o1 = run("counter")
+        _, o2 = run("counter")
+        _, o3 = run("threefry")
+        assert np.array_equal(np.asarray(o1.obs), np.asarray(o2.obs))
+        assert not np.array_equal(np.asarray(o1.obs), np.asarray(o3.obs))
+
+    def test_invalid_mode_rejected(self):
+        st = jax.jit(lambda k: batch.init(CFG, k, 64))(jax.random.key(0))
+        with pytest.raises(ValueError, match="rng mode"):
+            batch.per_env_uniforms(st, 2, rng="murmur")
+
+    def test_goal_rate_matches_threefry(self):
+        """Aggregate goal rate over 2048x400 random-vs-random steps: the
+        two modes must agree within 3 combined sigma."""
+        st = jax.jit(lambda k: batch.init(CFG, k, 2048))(jax.random.key(3))
+        pol = batch.random_policy_fn(CFG, jax.random.key(4), 2048)
+        rates = {}
+        for mode in ("threefry", "counter"):
+            _, out = jax.jit(
+                lambda s: batch.rollout(CFG, s, pol, 400, rng=mode))(st)
+            g = float(np.asarray(out.done.sum()))
+            t = float(np.asarray(out.truncated.sum()))
+            rates[mode] = (g / (g + t), g + t)
+        (r1, n1), (r2, n2) = rates["threefry"], rates["counter"]
+        sigma = (r1 * (1 - r1) / n1 + r2 * (1 - r2) / n2) ** 0.5
+        assert abs(r1 - r2) < 3 * max(sigma, 1e-4), rates
+
+    def test_uniform_moments(self):
+        """Counter-mode uniforms: mean/var/range of 64k draws."""
+        st = jax.jit(lambda k: batch.init(CFG, k, 4096))(jax.random.key(7))
+        u = np.asarray(batch.per_env_uniforms(st, 16, salt=3, rng="counter"))
+        assert u.shape == (4096, 16)
+        assert 0.0 <= u.min() and u.max() < 1.0
+        assert abs(u.mean() - 0.5) < 0.01
+        assert abs(u.var() - 1 / 12) < 0.002

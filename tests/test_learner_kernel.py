@@ -54,3 +54,15 @@ def test_fused_training_learns():
     assert np.allclose(np.asarray(pa).sum(-1), 1.0, atol=1e-3)
     goals = sum(h[1] for h in hist)
     assert goals > 0
+
+
+def test_fused_learner_vmem_guard():
+    """Grids whose packed tables exceed VMEM must fail loudly with a
+    pointer at the HBM-table learner, not die inside Mosaic."""
+    import pytest
+    from gym_soccer_tpu.config import EnvConfig
+    from gym_soccer_tpu.ops import learner_kernel as lk
+    big = EnvConfig(width=15, height=10, slip_prob=0.2)
+    with pytest.raises(ValueError, match="fused learner"):
+        lk.learner_chunk(big, 0, None, None, batch=1024, n_steps=1,
+                         interpret=True)
