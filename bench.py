@@ -86,12 +86,13 @@ def bench_pallas():
 
 
 def bench_xla():
+    """Generic XLA engine at its best configuration: stats-accumulating
+    random rollout (no trajectory journaling) with the counter RNG."""
     import numpy as np
     jax = _jax()
     from gym_soccer_tpu.config import EnvConfig
     from gym_soccer_tpu.core import batch
     cfg = EnvConfig(width=5, height=4, slip_prob=0.2)
-    pol = batch.random_policy_fn(cfg, jax.random.key(1), B)
 
     @jax.jit
     def init(key):
@@ -99,8 +100,8 @@ def bench_xla():
 
     @jax.jit
     def chunk(s):
-        s, out = batch.rollout(cfg, s, pol, T)
-        return s, out.reward_a.sum()
+        s, acc = batch.random_rollout_stats(cfg, s, T, rng="counter")
+        return s, acc.reward_sum
 
     st = init(jax.random.key(0))
     st, r = chunk(st)

@@ -191,6 +191,22 @@ def _slip_variant(cfg: EnvConfig, u: jax.Array) -> jax.Array:
                      jnp.where(u < 1.0 - q * 0.5, 1, 2)).astype(jnp.int32)
 
 
+def _slipped_move_arith(a: jax.Array, variant: jax.Array):
+    """(dcol, drow) of action ``a`` under slip ``variant``, computed
+    arithmetically.  Equivalent to indexing _MOVE_VARIANTS[a, variant] but
+    with no gather: on TPU each gather is a separate un-fusable kernel
+    whose launch overhead dominates this tiny per-step workload (removing
+    them takes the scan engine from ~16M to >200M steps/s)."""
+    mc0 = (a == 3).astype(jnp.int32) - (a == 4).astype(jnp.int32)
+    mr0 = (a == 2).astype(jnp.int32) - (a == 1).astype(jnp.int32)
+    # variant 1 -> (-mr0, mc0); variant 2 -> (mr0, -mc0)  (orthogonal_moves)
+    first = variant == 1
+    keep = variant == 0
+    mc = jnp.where(keep, mc0, jnp.where(first, -mr0, mr0))
+    mr = jnp.where(keep, mr0, jnp.where(first, mc0, -mc0))
+    return mc, mr
+
+
 def step(cfg: EnvConfig, state: EnvState,
          actions_a: jax.Array, actions_b: jax.Array,
          autoreset: bool = True,
@@ -201,24 +217,23 @@ def step(cfg: EnvConfig, state: EnvState,
     the <=4 collision outcome slots — jointly identical in distribution to
     the reference's single categorical over the unmerged 36-entry list.
     """
-    mv = jnp.asarray(_MOVE_VARIANTS)
     u = _per_env_uniforms(state, 4, rng=rng)
 
     va = _slip_variant(cfg, u[:, 0])
     vb = _slip_variant(cfg, u[:, 1])
-    ma = mv[actions_a, va]  # [B, 2] (dcol, drow)
-    mb = mv[actions_b, vb]
+    mca, mra = _slipped_move_arith(actions_a, va)
+    mcb, mrb = _slipped_move_arith(actions_b, vb)
 
     out = rules.resolve_outcomes(
         jnp, state.rows_a, state.cols_a, state.rows_b, state.cols_b,
-        state.poss, actions_a, actions_b,
-        ma[:, 0], ma[:, 1], mb[:, 0], mb[:, 1], cfg)
+        state.poss, actions_a, actions_b, mca, mra, mcb, mrb, cfg)
 
-    # Sample one of the 4 outcome slots by weight (first exceedance).
+    # Sample one of the 4 outcome slots by weight (first exceedance); the
+    # select is arithmetic for the same no-gather reason as the moves.
     wcum = jnp.cumsum(out["weight"].astype(jnp.float32), axis=-1)
     k = jnp.sum(wcum <= u[:, 2:3], axis=-1)
     k = jnp.clip(k, 0, 3).astype(jnp.int32)
-    take = lambda a: jnp.take_along_axis(a, k[:, None], axis=-1)[:, 0]
+    take = lambda a: sum(a[:, j] * (k == j) for j in range(4))
     nra, nca = take(out["rows_a"]), take(out["cols_a"])
     nrb, ncb = take(out["rows_b"]), take(out["cols_b"])
     npz = take(out["poss"]).astype(jnp.int32)
@@ -267,6 +282,39 @@ def rollout(cfg: EnvConfig, state: EnvState, policy_fn, n_steps: int,
     return jax.lax.scan(body, state, jnp.arange(n_steps))
 
 
+class RolloutStats(NamedTuple):
+    reward_sum: jax.Array  # float32 [] sum of player-A rewards
+    goals: jax.Array       # int32 [] goal terminations
+    truncs: jax.Array      # int32 [] truncations
+
+
+def rollout_stats(cfg: EnvConfig, state: EnvState, policy_fn, n_steps: int,
+                  rng: str = "threefry"):
+    """`lax.scan` rollout that accumulates summary statistics in the carry
+    instead of stacking per-step outputs.
+
+    `rollout` materializes StepOut as [T, B] arrays — ~14 KB of HBM writes
+    per env per 1000 steps, which dominates its runtime at large B (the
+    engine computes transitions faster than it can journal them).  When
+    only aggregates are needed (throughput benches, evaluation win rates),
+    this variant keeps everything in registers/VMEM like the pallas kernel
+    does.  Returns (final_state, RolloutStats)."""
+    def body(carry, i):
+        st, acc = carry
+        obs = observe(cfg, st)
+        aa, ab = policy_fn(obs, i)
+        st, out = step(cfg, st, aa, ab, rng=rng)
+        acc = RolloutStats(
+            reward_sum=acc.reward_sum + out.reward_a.sum(),
+            goals=acc.goals + out.done.sum(dtype=jnp.int32),
+            truncs=acc.truncs + out.truncated.sum(dtype=jnp.int32))
+        return (st, acc), None
+
+    zero = RolloutStats(jnp.float32(0), jnp.int32(0), jnp.int32(0))
+    (state, acc), _ = jax.lax.scan(body, (state, zero), jnp.arange(n_steps))
+    return state, acc
+
+
 def random_policy_fn(cfg: EnvConfig, key: jax.Array, batch: int):
     """Uniform-random joint policy for throughput benchmarks."""
     def fn(obs, i):
@@ -274,3 +322,30 @@ def random_policy_fn(cfg: EnvConfig, key: jax.Array, batch: int):
         acts = jax.random.randint(k, (2, batch), 0, 5, dtype=jnp.int32)
         return acts[0], acts[1]
     return fn
+
+
+_POLICY_SALT = 9
+
+
+def random_rollout_stats(cfg: EnvConfig, state: EnvState, n_steps: int,
+                         rng: str = "threefry"):
+    """Random-vs-random rollout accumulating stats only — the fastest
+    pure-XLA path: no observation gather (random play never reads obs) and
+    actions drawn from the per-instance stream (salted so they never
+    correlate with the transition draws).  Returns (state, RolloutStats).
+    """
+    def body(carry, i):
+        st, acc = carry
+        u = _per_env_uniforms(st, 2, salt=_POLICY_SALT, rng=rng)
+        aa = jnp.minimum((u[:, 0] * 5).astype(jnp.int32), 4)
+        ab = jnp.minimum((u[:, 1] * 5).astype(jnp.int32), 4)
+        st, out = step(cfg, st, aa, ab, rng=rng)
+        acc = RolloutStats(
+            reward_sum=acc.reward_sum + out.reward_a.sum(),
+            goals=acc.goals + out.done.sum(dtype=jnp.int32),
+            truncs=acc.truncs + out.truncated.sum(dtype=jnp.int32))
+        return (st, acc), None
+
+    zero = RolloutStats(jnp.float32(0), jnp.int32(0), jnp.int32(0))
+    (state, acc), _ = jax.lax.scan(body, (state, zero), jnp.arange(n_steps))
+    return state, acc

@@ -153,3 +153,25 @@ class TestCounterRng:
         assert 0.0 <= u.min() and u.max() < 1.0
         assert abs(u.mean() - 0.5) < 0.01
         assert abs(u.var() - 1 / 12) < 0.002
+
+
+def test_rollout_stats_matches_stacked_rollout():
+    """rollout_stats must produce exactly the sums of rollout's journaled
+    outputs for the same state/policy (same draws, same transitions)."""
+    st = jax.jit(lambda k: batch.init(CFG, k, 512))(jax.random.key(5))
+    pol = batch.random_policy_fn(CFG, jax.random.key(6), 512)
+    _, out = jax.jit(lambda s: batch.rollout(CFG, s, pol, 150))(st)
+    _, acc = jax.jit(lambda s: batch.rollout_stats(CFG, s, pol, 150))(st)
+    assert float(acc.reward_sum) == float(np.asarray(out.reward_a).sum())
+    assert int(acc.goals) == int(np.asarray(out.done).sum())
+    assert int(acc.truncs) == int(np.asarray(out.truncated).sum())
+
+
+def test_random_rollout_stats_sane():
+    """Self-driving random rollout: goal-rate in the random-play band."""
+    st = jax.jit(lambda k: batch.init(CFG, k, 2048))(jax.random.key(8))
+    _, acc = jax.jit(
+        lambda s: batch.random_rollout_stats(CFG, s, 400, rng="counter"))(st)
+    g, t = int(acc.goals), int(acc.truncs)
+    rate = g / (g + t)
+    assert 0.90 < rate < 0.99, (g, t)   # random play ends ~95% in goals
