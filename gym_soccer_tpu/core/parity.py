@@ -47,17 +47,28 @@ def _le_bits(hi_a, lo_a, hi_b, lo_b):
 
 
 class ParityTables(NamedTuple):
-    """Host-side (numpy) arrays; inlined as constants under jit."""
+    """Host-side (numpy) arrays; inlined as constants under jit.
+
+    The per-slot data is PACKED into two tensors so a parity step costs 3
+    device gathers instead of 8 — on TPU each gather is a separate kernel
+    whose launch overhead dominates this workload (same diagnosis as the
+    batch engine's gather-free step):
+
+    * ``cum_pair`` [nS, R, 36, 2]: float64 cumulative-sum thresholds as
+      (hi, lo) uint32 bit-pattern words, fetched by (state, row);
+    * ``meta`` [nS, R, 36, 4] int32: (next_raw, done, reward f32 bits,
+      prob f32 bits), fetched at the selected slot.
+
+    The reference's argmax-over-empty fallback slot is NOT stored: the
+    first in-list slot equals the count of zero cumulative sums (cum is
+    nondecreasing from 0 and every padding slot before the first real
+    entry carries probability 0), so it is recomputed from cum_pair.
+    """
     nS: int
     n_rows: int                # 25 joint (multiagent) or 5 (single-agent)
     raw_to_dense: np.ndarray   # [nRaw] int32
-    cum_hi: np.ndarray         # [nS, R, 36] uint32
-    cum_lo: np.ndarray
-    next_raw: np.ndarray       # [nS, R, 36] int32
-    prob32: np.ndarray         # [nS, R, 36] float32 (for info.p checks)
-    reward32: np.ndarray       # [nS, R, 36] float32 (sign-preserving)
-    done: np.ndarray           # [nS, R, 36] bool
-    first: np.ndarray          # [nS, R] int32
+    cum_pair: np.ndarray       # [nS, R, 36, 2] uint32 (hi, lo)
+    meta: np.ndarray           # [nS, R, 36, 4] int32
     isd_cum_hi: np.ndarray     # [nI] uint32
     isd_cum_lo: np.ndarray
     isd_raw: np.ndarray        # [nI] int32
@@ -75,16 +86,18 @@ def _parity_tables_cached(cfg: EnvConfig, frozen: Optional[str],
         arr = tables.collapse_single_agent(
             tb, frozen, np.asarray(policy_key, dtype=np.int32))
     cum_hi, cum_lo = f64_bits(arr["t_cum"])
+    cum_pair = np.stack([cum_hi, cum_lo], axis=-1)
+    meta = np.stack([
+        arr["t_next_raw"].astype(np.int32),
+        arr["t_done"].astype(np.int32),
+        arr["t_reward"].astype(np.float32).view(np.int32),
+        arr["t_prob"].astype(np.float32).view(np.int32),
+    ], axis=-1)
     isd_hi, isd_lo = f64_bits(np.cumsum(tb.isd_probs))
     return ParityTables(
         nS=tb.nS, n_rows=arr["t_cum"].shape[1],
         raw_to_dense=tb.raw_to_dense,
-        cum_hi=cum_hi, cum_lo=cum_lo,
-        next_raw=arr["t_next_raw"].astype(np.int32),
-        prob32=arr["t_prob"].astype(np.float32),
-        reward32=arr["t_reward"].astype(np.float32),
-        done=arr["t_done"],
-        first=arr["t_first"].astype(np.int32),
+        cum_pair=cum_pair, meta=meta,
         isd_cum_hi=isd_hi, isd_cum_lo=isd_lo,
         isd_raw=tb.isd_raw.astype(np.int32),
     )
@@ -138,12 +151,15 @@ class ParityOut(NamedTuple):
     was_reset: jax.Array  # bool [B] (a reset draw was consumed this step)
 
 
-def _pick_first_exceedance(cum_hi_row, cum_lo_row, u_hi, u_lo, fallback):
-    """Index of the first threshold exceeding u (uint32-pair compare);
-    the reference's argmax-over-empty fallback selects the list head."""
+def _pick_first_exceedance(cum_hi_row, cum_lo_row, u_hi, u_lo):
+    """Index of the first threshold exceeding u (uint32-pair compare).
+    The reference's argmax-over-empty fallback selects the first in-list
+    slot, which equals the count of zero thresholds (see ParityTables)."""
     le = _le_bits(cum_hi_row, cum_lo_row, u_hi[..., None], u_lo[..., None])
     i = jnp.sum(le, axis=-1).astype(jnp.int32)
-    return jnp.where(i >= cum_hi_row.shape[-1], fallback, i)
+    first = jnp.sum((cum_hi_row == 0) & (cum_lo_row == 0),
+                    axis=-1).astype(jnp.int32)
+    return jnp.where(i >= cum_hi_row.shape[-1], first, i)
 
 
 def parity_step(cfg: EnvConfig, pt: ParityTables, state: ParityState,
@@ -177,18 +193,19 @@ def parity_step(cfg: EnvConfig, pt: ParityTables, state: ParityState,
     # ---- transition draw (reference step(), :375-408) ----
     u_hi, u_lo = take(cursor)
     s = jnp.asarray(pt.raw_to_dense)[raw]
-    cum_hi = jnp.asarray(pt.cum_hi)[s, row]
-    cum_lo = jnp.asarray(pt.cum_lo)[s, row]
-    i = _pick_first_exceedance(cum_hi, cum_lo, u_hi, u_lo,
-                               jnp.asarray(pt.first)[s, row])
+    pair = jnp.asarray(pt.cum_pair)[s, row]          # [B, 36, 2]
+    cum_hi, cum_lo = pair[..., 0], pair[..., 1]
+    i = _pick_first_exceedance(cum_hi, cum_lo, u_hi, u_lo)
 
-    ns_raw = jnp.asarray(pt.next_raw)[s, row, i]
+    m = jnp.asarray(pt.meta)[s, row, i]              # [B, 4]
+    ns_raw = m[..., 0]
     # Absorbing goal rows point at the class representative; the actual
     # state self-loops (matches facade/reference semantics).
     ns_raw = jnp.where(s == 0, raw, ns_raw)
-    done = jnp.asarray(pt.done)[s, row, i]
-    reward = jnp.asarray(pt.reward32)[s, row, i]
-    prob = jnp.asarray(pt.prob32)[s, row, i]
+    done = m[..., 1] != 0
+    bitcast = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
+    reward = bitcast(m[..., 2])
+    prob = bitcast(m[..., 3])
 
     t = t + 1
     truncated = t >= cfg.max_steps
