@@ -98,10 +98,17 @@ def init(cfgs: Sequence[EnvConfig], key: jax.Array,
     return _reset_where(st, jnp.ones(batch_size, bool))
 
 
-def _uniforms(st: MultiGridState, count: int) -> jax.Array:
+def uniforms(st: MultiGridState, count: int, salt: int = 0,
+             rng: str = "threefry") -> jax.Array:
+    """Per-lane uniforms; ``salt`` separates consumer streams — a policy
+    sampling actions MUST use a nonzero salt or its choices correlate
+    exactly with the transition's slip/collision draws (salt 0)."""
     env_view = corebatch.EnvState(st.rows_a, st.cols_a, st.rows_b,
                                   st.cols_b, st.poss, st.t, st.n, st.key)
-    return corebatch.per_env_uniforms(env_view, count)
+    return corebatch.per_env_uniforms(env_view, count, salt=salt, rng=rng)
+
+
+_uniforms = uniforms
 
 
 def _reset_where(st: MultiGridState, mask: jax.Array) -> MultiGridState:
@@ -119,23 +126,24 @@ def step(st: MultiGridState, actions_a: jax.Array, actions_b: jax.Array,
          autoreset: bool = True):
     """Identical structure to core/batch.step, with per-lane geometry."""
     geo = st.geo
-    mv = jnp.asarray(corebatch._MOVE_VARIANTS)
     u = _uniforms(st, 4)
 
     q = geo.slip  # per-lane slip probability
     var = lambda uu: jnp.where(uu < 1.0 - q,
                                0, jnp.where(uu < 1.0 - q * 0.5, 1, 2)
                                ).astype(jnp.int32)
-    ma = mv[actions_a, var(u[:, 0])]
-    mb = mv[actions_b, var(u[:, 1])]
+    # arithmetic moves/selects: gathers compile to separate un-fusable TPU
+    # kernels whose launch cost dominates this workload (see core/batch.py)
+    mca, mra = corebatch._slipped_move_arith(actions_a, var(u[:, 0]))
+    mcb, mrb = corebatch._slipped_move_arith(actions_b, var(u[:, 1]))
 
     out = rules.resolve_outcomes(
         jnp, st.rows_a, st.cols_a, st.rows_b, st.cols_b, st.poss,
-        actions_a, actions_b, ma[:, 0], ma[:, 1], mb[:, 0], mb[:, 1], geo)
+        actions_a, actions_b, mca, mra, mcb, mrb, geo)
 
     wcum = jnp.cumsum(out["weight"].astype(jnp.float32), axis=-1)
     k = jnp.clip(jnp.sum(wcum <= u[:, 2:3], axis=-1), 0, 3).astype(jnp.int32)
-    take = lambda a: jnp.take_along_axis(a, k[:, None], axis=-1)[:, 0]
+    take = lambda a: sum(a[:, j] * (k == j) for j in range(4))
     nra, nca = take(out["rows_a"]), take(out["cols_a"])
     nrb, ncb = take(out["rows_b"]), take(out["cols_b"])
     npz = take(out["poss"]).astype(jnp.int32)

@@ -93,17 +93,16 @@ def alt_step(cfg: EnvConfig, state: AltEnvState, action: jax.Array,
              autoreset: bool = True):
     """Batched alternating-turn step for the current mover of each lane."""
     from ..core import batch as corebatch
-    mv = jnp.asarray(corebatch._MOVE_VARIANTS)
     env_view = corebatch.EnvState(state.rows_a, state.cols_a, state.rows_b,
                                   state.cols_b, state.poss, state.t,
                                   state.n, state.key)
     u = corebatch.per_env_uniforms(env_view, 2)
     variant = corebatch._slip_variant(cfg, u[:, 0])
-    m = mv[action, variant]
+    mc, mr = corebatch._slipped_move_arith(action, variant)
 
     nra, nca, nrb, ncb, npz, nturn = alt_transition(
         jnp, state.rows_a, state.cols_a, state.rows_b, state.cols_b,
-        state.poss, state.turn, action, m[:, 0], m[:, 1], cfg)
+        state.poss, state.turn, action, mc, mr, cfg)
 
     now_goal = rules.is_goal_state(jnp, nra, nca, nrb, ncb, npz, cfg)
     ball_col = jnp.where(npz == 0, nca, ncb)

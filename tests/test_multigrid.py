@@ -77,3 +77,27 @@ def test_rewards_are_goal_consistent(final_and_traj):
     _, (rew, goal, trunc) = final_and_traj
     assert ((rew != 0) == goal).all()
     assert set(np.unique(rew)).issubset({-1.0, 0.0, 1.0})
+
+
+def test_salted_random_play_is_balanced():
+    """Random play with a SALTED policy stream must score both goals about
+    equally in every variant.  (A salt-0 policy consumes the very uniforms
+    the transition reads, correlating actions with slip draws — the bug
+    mode uniforms(salt=...) exists to prevent.)"""
+    cfgs = [EnvConfig(5, 4, 0.2), EnvConfig(9, 6, 0.3)]
+    st = jax.jit(lambda k: multigrid.init(cfgs, k, 2048))(jax.random.key(0))
+
+    def pol(s, i):
+        u = multigrid.uniforms(s, 2, salt=9)
+        return (jnp.minimum((u[:, 0] * 5).astype(jnp.int32), 4),
+                jnp.minimum((u[:, 1] * 5).astype(jnp.int32), 4))
+
+    st, (r, g, tr) = jax.jit(lambda s: multigrid.rollout(s, pol, 300))(st)
+    r, g = np.asarray(r), np.asarray(g)
+    lane = np.arange(2048) % len(cfgs)
+    for v in range(len(cfgs)):
+        goals = g[:, lane == v].sum()
+        net = abs(r[:, lane == v].sum())
+        assert goals > 100, f"variant {v} too few goals: {goals}"
+        # |net| for a fair coin over `goals` trials: 3 sigma = 3*sqrt(goals)
+        assert net < 3 * np.sqrt(goals) + 1, (v, net, goals)

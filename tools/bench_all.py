@@ -53,6 +53,7 @@ def bench_facade(quick):
 
 
 def bench_xla(quick):
+    """Stacked-trajectory rollout (journals [T, B] StepOut to HBM)."""
     B, T = 8192, 200 if quick else 1000
     pol = batch.random_policy_fn(CFG, jax.random.key(1), B)
     st = jax.jit(lambda k: batch.init(CFG, k, B))(jax.random.key(0))
@@ -62,6 +63,52 @@ def bench_xla(quick):
         nonlocal st
         st, out = roll(st)
         fetch(out.reward_a.sum())
+
+    dt = timed(run)
+    return B * T / dt
+
+
+def _bench_stats_rollout(quick, rng):
+    B, T = 8192, 200 if quick else 1000
+    st = jax.jit(lambda k: batch.init(CFG, k, B))(jax.random.key(0))
+    roll = jax.jit(lambda s: batch.random_rollout_stats(CFG, s, T, rng=rng))
+
+    def run():
+        nonlocal st
+        st, acc = roll(st)
+        fetch(acc.reward_sum)
+
+    dt = timed(run)
+    return B * T / dt
+
+
+def bench_xla_stats_threefry(quick):
+    return _bench_stats_rollout(quick, "threefry")
+
+
+def bench_xla_stats_counter(quick):
+    return _bench_stats_rollout(quick, "counter")
+
+
+def bench_multigrid(quick):
+    """Mixed-geometry lockstep batch (5x4 / 6x5 / 9x6 in one kernel)."""
+    from gym_soccer_tpu.core import multigrid
+    B, T = 8192, 200 if quick else 1000
+    cfgs = [EnvConfig(5, 4, 0.2), EnvConfig(6, 5, 0.1), EnvConfig(9, 6, 0.3)]
+    st = jax.jit(lambda k: multigrid.init(cfgs, k, B),
+                 static_argnums=())(jax.random.key(0))
+
+    def pol(s, i):
+        u = multigrid.uniforms(s, 2, salt=9)
+        return (jnp.minimum((u[:, 0] * 5).astype(jnp.int32), 4),
+                jnp.minimum((u[:, 1] * 5).astype(jnp.int32), 4))
+
+    roll = jax.jit(lambda s: multigrid.rollout(s, pol, T))
+
+    def run():
+        nonlocal st
+        st, (r, g, tr) = roll(st)
+        fetch(r.sum())
 
     dt = timed(run)
     return B * T / dt
@@ -100,6 +147,21 @@ def bench_pallas(quick):
     return (t_long - t_short) * B / max(w_l - w_s, 1e-9)
 
 
+def bench_table_build(quick):
+    """Native C++ transition-table build, 11x7 grid (reference: 35.7 s).
+    Returns dense transition entries built per second for the table row
+    (nS * 25 joint actions * 36 slots)."""
+    from gym_soccer_tpu.core import tables
+    cfg = EnvConfig(11, 7, 0.2)
+    ss = tables.build_statespace(cfg)
+    t0 = time.perf_counter()
+    tb = tables._build_tables_native(cfg, ss)
+    dt = time.perf_counter() - t0
+    if tb is None:
+        raise RuntimeError("native builder unavailable")
+    return tb.nS * 25 * 36 / dt
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
@@ -107,9 +169,13 @@ def main():
     ref = 2.7e4
     rowspec = [
         ("facade_single_env", bench_facade),
-        ("xla_batch_engine", bench_xla),
+        ("xla_batch_engine_traj", bench_xla),
+        ("xla_stats_threefry", bench_xla_stats_threefry),
+        ("xla_stats_counter", bench_xla_stats_counter),
+        ("xla_multigrid_mixed", bench_multigrid),
         ("parity_bit_exact", bench_parity),
         ("pallas_fused", bench_pallas),
+        ("table_build_native", bench_table_build),
     ]
     for name, fn in rowspec:
         try:
