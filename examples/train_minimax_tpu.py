@@ -42,11 +42,13 @@ def main():
             eps_halflife=args.steps // 3)
         dt = time.perf_counter() - t0
         steps = n_chunks * 64 * args.envs
+        from gym_soccer_tpu.agents.evaluation import exploitability
         log_json(event="finished_fused", env_steps=steps,
                  seconds=round(dt, 1),
                  env_steps_per_s=round(steps / dt),
                  v_min=float(np.asarray(v).min()),
-                 v_max=float(np.asarray(v).max()))
+                 v_max=float(np.asarray(v).max()),
+                 exploitability=round(float(exploitability(cfg, pa, pb)), 4))
         return
 
     cfg = EnvConfig(width=5, height=4, slip_prob=0.2)
@@ -82,8 +84,12 @@ def main():
             checkpoint.save_pytree(args.ckpt, state)
 
     v = np.asarray(state.v)
+    from gym_soccer_tpu.agents.evaluation import exploitability
     log_json(event="finished", steps=done, v_min=float(v.min()),
-             v_max=float(v.max()), **tp.summary())
+             v_max=float(v.max()),
+             exploitability=round(
+                 float(exploitability(cfg, state.pi_a, state.pi_b)), 4),
+             **tp.summary())
 
 
 if __name__ == "__main__":
