@@ -16,6 +16,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from gym_soccer_tpu.config import EnvConfig
 from gym_soccer_tpu.agents import learners
+from gym_soccer_tpu.agents.evaluation import exploitability
 from gym_soccer_tpu.utils import checkpoint
 from gym_soccer_tpu.utils.profiling import Throughput, log_json
 
@@ -42,7 +43,6 @@ def main():
             eps_halflife=args.steps // 3)
         dt = time.perf_counter() - t0
         steps = n_chunks * 64 * args.envs
-        from gym_soccer_tpu.agents.evaluation import exploitability
         log_json(event="finished_fused", env_steps=steps,
                  seconds=round(dt, 1),
                  env_steps_per_s=round(steps / dt),
@@ -84,7 +84,6 @@ def main():
             checkpoint.save_pytree(args.ckpt, state)
 
     v = np.asarray(state.v)
-    from gym_soccer_tpu.agents.evaluation import exploitability
     log_json(event="finished", steps=done, v_min=float(v.min()),
              v_max=float(v.max()),
              exploitability=round(

@@ -288,6 +288,13 @@ class RolloutStats(NamedTuple):
     truncs: jax.Array      # int32 [] truncations
 
 
+def _accumulate(acc: "RolloutStats", out: StepOut) -> "RolloutStats":
+    return RolloutStats(
+        reward_sum=acc.reward_sum + out.reward_a.sum(),
+        goals=acc.goals + out.done.sum(dtype=jnp.int32),
+        truncs=acc.truncs + out.truncated.sum(dtype=jnp.int32))
+
+
 def rollout_stats(cfg: EnvConfig, state: EnvState, policy_fn, n_steps: int,
                   rng: str = "threefry"):
     """`lax.scan` rollout that accumulates summary statistics in the carry
@@ -304,11 +311,7 @@ def rollout_stats(cfg: EnvConfig, state: EnvState, policy_fn, n_steps: int,
         obs = observe(cfg, st)
         aa, ab = policy_fn(obs, i)
         st, out = step(cfg, st, aa, ab, rng=rng)
-        acc = RolloutStats(
-            reward_sum=acc.reward_sum + out.reward_a.sum(),
-            goals=acc.goals + out.done.sum(dtype=jnp.int32),
-            truncs=acc.truncs + out.truncated.sum(dtype=jnp.int32))
-        return (st, acc), None
+        return (st, _accumulate(acc, out)), None
 
     zero = RolloutStats(jnp.float32(0), jnp.int32(0), jnp.int32(0))
     (state, acc), _ = jax.lax.scan(body, (state, zero), jnp.arange(n_steps))
@@ -340,11 +343,7 @@ def random_rollout_stats(cfg: EnvConfig, state: EnvState, n_steps: int,
         aa = jnp.minimum((u[:, 0] * 5).astype(jnp.int32), 4)
         ab = jnp.minimum((u[:, 1] * 5).astype(jnp.int32), 4)
         st, out = step(cfg, st, aa, ab, rng=rng)
-        acc = RolloutStats(
-            reward_sum=acc.reward_sum + out.reward_a.sum(),
-            goals=acc.goals + out.done.sum(dtype=jnp.int32),
-            truncs=acc.truncs + out.truncated.sum(dtype=jnp.int32))
-        return (st, acc), None
+        return (st, _accumulate(acc, out)), None
 
     zero = RolloutStats(jnp.float32(0), jnp.int32(0), jnp.int32(0))
     (state, acc), _ = jax.lax.scan(body, (state, zero), jnp.arange(n_steps))

@@ -95,8 +95,7 @@ def bench_multigrid(quick):
     from gym_soccer_tpu.core import multigrid
     B, T = 8192, 200 if quick else 1000
     cfgs = [EnvConfig(5, 4, 0.2), EnvConfig(6, 5, 0.1), EnvConfig(9, 6, 0.3)]
-    st = jax.jit(lambda k: multigrid.init(cfgs, k, B),
-                 static_argnums=())(jax.random.key(0))
+    st = jax.jit(lambda k: multigrid.init(cfgs, k, B))(jax.random.key(0))
 
     def pol(s, i):
         u = multigrid.uniforms(s, 2, salt=9)
@@ -148,11 +147,11 @@ def bench_pallas(quick):
 
 
 def bench_table_build(quick):
-    """Native C++ transition-table build, 11x7 grid (reference: 35.7 s).
-    Returns dense transition entries built per second for the table row
-    (nS * 25 joint actions * 36 slots)."""
+    """Native C++ transition-table build — 11x7 grid (reference: 35.7 s),
+    or 5x4 under --quick.  Returns dense transition entries built per
+    second (nS * 25 joint actions * 36 slots)."""
     from gym_soccer_tpu.core import tables
-    cfg = EnvConfig(11, 7, 0.2)
+    cfg = EnvConfig(5, 4, 0.2) if quick else EnvConfig(11, 7, 0.2)
     ss = tables.build_statespace(cfg)
     t0 = time.perf_counter()
     tb = tables._build_tables_native(cfg, ss)
