@@ -255,10 +255,15 @@ def fused_minimax_train(cfg: EnvConfig, batch: int, n_chunks: int,
                         lr_halflife: int = 0, eps_halflife: int = 0,
                         solver_iters: int = 200, seed: int = 0,
                         interpret: bool = False,
-                        single_dispatch: bool = False):
+                        single_dispatch: bool = False,
+                        init: tuple | None = None):
     """Chunked fused minimax-Q training.  Returns (q, v, pi_a, pi_b,
     stats_history).  Semantics match agents/learners.minimax_train with
     resolve_every == chunk_len (chunk-stale TD baselines).
+
+    ``init``: optional (q, v, pi_a, pi_b) warm start — resume a previous
+    run or chain phases with different lr/eps schedules (annealed
+    fine-tuning measurably improves final exploitability).
 
     ``single_dispatch`` wraps the whole run in one jitted lax.scan —
     minimal dispatch overhead, but the long scan over pallas_call bodies
@@ -269,10 +274,14 @@ def fused_minimax_train(cfg: EnvConfig, batch: int, n_chunks: int,
     from ..core import tables
     nS = tables.build_statespace(cfg).nS
 
-    q = jnp.zeros((nS, 5, 5), jnp.float32)
-    v = jnp.zeros(nS, jnp.float32)
-    pi_a = jnp.full((nS, 5), 0.2, jnp.float32)
-    pi_b = jnp.full((nS, 5), 0.2, jnp.float32)
+    if init is None:
+        q = jnp.zeros((nS, 5, 5), jnp.float32)
+        v = jnp.zeros(nS, jnp.float32)
+        pi_a = jnp.full((nS, 5), 0.2, jnp.float32)
+        pi_b = jnp.full((nS, 5), 0.2, jnp.float32)
+    else:
+        q, v, pi_a, pi_b = (jnp.asarray(x, jnp.float32) for x in init)
+        assert q.shape == (nS, 5, 5) and v.shape == (nS,)
     fields = init_state_fields(cfg, batch)
 
     @jax.jit

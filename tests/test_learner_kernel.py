@@ -66,3 +66,21 @@ def test_fused_learner_vmem_guard():
     with pytest.raises(ValueError, match="fused learner"):
         lk.learner_chunk(big, 0, None, None, batch=1024, n_steps=1,
                          interpret=True)
+
+
+def test_fused_training_warm_start():
+    """init=(q, v, pi_a, pi_b) must resume from the given tables: with
+    lr=0 the Q table comes back bit-identical, and policies re-solve to
+    the init Q's equilibrium (not the uniform default)."""
+    from gym_soccer_tpu.core import tables
+    nS = tables.build_statespace(CFG).nS
+    rng = np.random.RandomState(0)
+    q0 = jnp.asarray(rng.uniform(-0.5, 0.5, (nS, 5, 5)), jnp.float32)
+    v0 = q0.mean(axis=(1, 2))
+    pi0 = jnp.full((nS, 5), 0.2, jnp.float32)
+    q, v, pa, pb, _ = lk.fused_minimax_train(
+        CFG, batch=512, n_chunks=1, chunk_len=4, lr=0.0, eps=0.5,
+        solver_iters=50, interpret=True, init=(q0, v0, pi0, pi0))
+    assert np.array_equal(np.asarray(q), np.asarray(q0))
+    assert not np.allclose(np.asarray(pa), 0.2, atol=1e-3), \
+        "policies should re-solve the init Q, not stay uniform"
