@@ -212,7 +212,11 @@ def _rollout_kernel(seed_ref, ra_ref, ca_ref, rb_ref, cb_ref, p_ref, t_ref,
     shape = ra_ref.shape
     rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
     cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
-    lane_ctr = rows * jnp.uint32(shape[1]) + cols
+    # GLOBAL lane id (batches beyond one VMEM block run as a grid over
+    # batch blocks; each block must draw from disjoint counter streams)
+    block = pl.program_id(0).astype(jnp.uint32)
+    lane_ctr = (block * jnp.uint32(shape[0] * shape[1])
+                + rows * jnp.uint32(shape[1]) + cols)
 
     def body(i, carry):
         bits0 = _random_word(seed, i, 0, lane_ctr)
@@ -226,9 +230,10 @@ def _rollout_kernel(seed_ref, ra_ref, ca_ref, rb_ref, cb_ref, p_ref, t_ref,
     carry = jax.lax.fori_loop(0, n_steps, body, carry)
     ra, ca, rb, cb, p, t, rew, goals, truncs = carry
     ora[:], oca[:], orb[:], ocb[:], op[:], ot[:] = ra, ca, rb, cb, p, t
-    stats_ref[0, 0] = jnp.sum(rew)
-    stats_ref[0, 1] = jnp.sum(goals)
-    stats_ref[0, 2] = jnp.sum(truncs)
+    b = pl.program_id(0)  # stats_ref is the whole [n_blocks, 3] SMEM array
+    stats_ref[b, 0] = jnp.sum(rew)
+    stats_ref[b, 1] = jnp.sum(goals)
+    stats_ref[b, 2] = jnp.sum(truncs)
 
 
 @functools.partial(jax.jit,
@@ -244,21 +249,34 @@ def pallas_rollout(cfg: EnvConfig, seed: jax.Array, batch: int,
     shape = (batch // LANES, LANES)
     q_int = int(round(cfg.slip_prob * 65536))
 
+    # VMEM holds ~12 int32 planes of the batch (6 state in + carry/out);
+    # block the batch and run a grid when it would exceed ~half of VMEM.
+    # 32768 lanes x 12 planes x 4 B ~= 1.6 MB/plane block, well clear of
+    # the 16 MB scoped limit; 131072 lanes in one block OOMs the compiler.
+    BLOCK_ROWS = min(shape[0], 32768 // LANES)
+    n_blocks = shape[0] // BLOCK_ROWS if shape[0] % BLOCK_ROWS == 0 else 0
+    if n_blocks == 0:  # batch not divisible into whole blocks: single block
+        BLOCK_ROWS, n_blocks = shape[0], 1
+    blk = (BLOCK_ROWS, LANES)
+
     init = list(isd_spread_fields(cfg, batch, shape))
     t0 = jnp.zeros(shape, jnp.int32)
 
     kernel = functools.partial(_rollout_kernel, cfg=cfg, n_steps=n_steps,
                                q_int=q_int)
     out_shapes = ([jax.ShapeDtypeStruct(shape, jnp.int32)] * 6 +
-                  [jax.ShapeDtypeStruct((1, 3), jnp.int32)])
+                  [jax.ShapeDtypeStruct((n_blocks, 3), jnp.int32)])
+    state_spec = pl.BlockSpec(blk, lambda b: (b, 0),
+                              memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         kernel,
+        grid=(n_blocks,),
         out_shape=tuple(out_shapes),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] +
-                 [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
-        out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 6 +
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [state_spec] * 6,
+        out_specs=tuple([state_spec] * 6 +
                         [pl.BlockSpec(memory_space=pltpu.SMEM)]),
         interpret=interpret,
     )(jnp.asarray([seed], jnp.int32).reshape(1), *init, t0)
     *fields, stats = outs
-    return tuple(fields), (stats[0, 0], stats[0, 1], stats[0, 2])
+    stats = stats.sum(axis=0)
+    return tuple(fields), (stats[0], stats[1], stats[2])
