@@ -237,13 +237,18 @@ def _rollout_kernel(seed_ref, ra_ref, ca_ref, rb_ref, cb_ref, p_ref, t_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "n_steps", "batch", "interpret"))
+                   static_argnames=("cfg", "n_steps", "batch", "interpret",
+                                    "block_rows"))
 def pallas_rollout(cfg: EnvConfig, seed: jax.Array, batch: int,
-                   n_steps: int, interpret: bool = False):
+                   n_steps: int, interpret: bool = False,
+                   block_rows: int | None = None):
     """Run `n_steps` of random-vs-random self-play for `batch` envs fully
     on-chip.  Returns (final_state_fields, (reward_sum, goals, truncs)).
 
     `batch` must be a multiple of 1024 (tiled as [batch/128, 128] int32).
+    ``block_rows`` overrides the batch-block height (testing hook); the
+    counter PRNG is keyed on GLOBAL lane id, so results are bit-invariant
+    to the blocking.
     """
     assert batch % (8 * LANES) == 0, "batch must be a multiple of 1024"
     shape = (batch // LANES, LANES)
@@ -253,7 +258,7 @@ def pallas_rollout(cfg: EnvConfig, seed: jax.Array, batch: int,
     # block the batch and run a grid when it would exceed ~half of VMEM.
     # 32768 lanes x 12 planes x 4 B ~= 1.6 MB/plane block, well clear of
     # the 16 MB scoped limit; 131072 lanes in one block OOMs the compiler.
-    BLOCK_ROWS = min(shape[0], 32768 // LANES)
+    BLOCK_ROWS = block_rows or min(shape[0], 32768 // LANES)
     n_blocks = shape[0] // BLOCK_ROWS if shape[0] % BLOCK_ROWS == 0 else 0
     if n_blocks == 0:  # batch not divisible into whole blocks: single block
         BLOCK_ROWS, n_blocks = shape[0], 1

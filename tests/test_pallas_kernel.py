@@ -56,3 +56,16 @@ def test_final_states_valid():
     dense = tb.raw_to_dense[raw]
     assert (dense > 0).all(), "autoreset must leave no terminal/unreachable"
     assert (t >= 0).all() and (t < CFG.max_steps).all()
+
+
+def test_blocking_invariance():
+    """Splitting the batch into grid blocks must not change ANY result:
+    the counter PRNG is keyed on global lane id, so per-lane trajectories
+    and aggregate stats are bit-identical for every block_rows choice."""
+    fields1, stats1 = pallas_rollout(CFG, jnp.int32(7), 2048, 40,
+                                     interpret=True)
+    fields4, stats4 = pallas_rollout(CFG, jnp.int32(7), 2048, 40,
+                                     interpret=True, block_rows=4)
+    for a, b in zip(fields1, fields4):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    assert [int(x) for x in stats1] == [int(x) for x in stats4]
