@@ -17,8 +17,40 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from gym_soccer_tpu.config import EnvConfig
 from gym_soccer_tpu.agents import learners
 from gym_soccer_tpu.agents.evaluation import exploitability
+from gym_soccer_tpu.core import batch
 from gym_soccer_tpu.utils import checkpoint
+from gym_soccer_tpu.utils.metrics import chunk_stats
 from gym_soccer_tpu.utils.profiling import Throughput, log_json
+
+
+def eval_episode_stats(cfg, pi_a, pi_b, n_envs=1024, n_steps=400, seed=7):
+    """Play the learned mixed strategies against each other and aggregate
+    episode metrics on device (utils/metrics) — the batched analogue of
+    the reference main()'s 1000-episode eval loop
+    (soccer_simultaneous_env.py:569-613)."""
+    import jax.numpy as jnp
+    pi_a = jnp.asarray(pi_a)
+    pi_b = jnp.asarray(pi_b)
+    key = jax.random.key(seed)
+
+    def policy_fn(obs, i):
+        k = jax.random.fold_in(key, i)
+        u = jax.random.uniform(k, (2, obs.shape[0]))
+        return (learners._sample_mixed(pi_a[obs], u[0]),
+                learners._sample_mixed(pi_b[obs], u[1]))
+
+    @jax.jit
+    def run(k):
+        st = batch.init(cfg, k, n_envs)
+        _, out = batch.rollout(cfg, st, policy_fn, n_steps)
+        return chunk_stats(out)
+
+    s = jax.device_get(run(jax.random.key(seed + 1)))
+    return {"episodes": int(s.episodes), "goals": int(s.goals),
+            "truncations": int(s.truncations),
+            "win_rate_a": round(s.win_rate_a, 4),
+            "mean_reward_a": round(s.mean_reward_a, 4),
+            "mean_length": round(s.mean_length, 2)}
 
 
 def main():
@@ -49,6 +81,8 @@ def main():
                  v_min=float(np.asarray(v).min()),
                  v_max=float(np.asarray(v).max()),
                  exploitability=round(float(exploitability(cfg, pa, pb)), 4))
+        log_json(event="eval_episode_stats",
+                 **eval_episode_stats(cfg, pa, pb))
         return
 
     cfg = EnvConfig(width=5, height=4, slip_prob=0.2)
@@ -89,6 +123,8 @@ def main():
              exploitability=round(
                  float(exploitability(cfg, state.pi_a, state.pi_b)), 4),
              **tp.summary())
+    log_json(event="eval_episode_stats",
+             **eval_episode_stats(cfg, state.pi_a, state.pi_b))
 
 
 if __name__ == "__main__":

@@ -64,6 +64,11 @@ class StepOut(NamedTuple):
     done: jax.Array       # goal scored this step, bool [B]
     truncated: jax.Array  # episode hit max_steps, bool [B]
     final_obs: jax.Array  # obs BEFORE autoreset (terminal obs), int32 [B]
+    prob: jax.Array       # sampled transition probability, float32 [B]
+    #   (the reference reports it per step in info["p"],
+    #   soccer_simultaneous_env.py:405; here it is the product of the two
+    #   per-player slip probabilities and the sampled outcome weight, which
+    #   equals the sampled unmerged-list entry's probability exactly)
 
 
 class DeviceMaps(NamedTuple):
@@ -98,6 +103,13 @@ def init(cfg: EnvConfig, key: jax.Array, batch: int) -> EnvState:
     """
     keys = jax.vmap(jax.random.fold_in, (None, 0))(
         key, jnp.arange(batch, dtype=jnp.uint32))
+    return init_from_keys(cfg, keys)
+
+
+def init_from_keys(cfg: EnvConfig, keys: jax.Array) -> EnvState:
+    """Initialize from explicit per-instance keys [B] (e.g. gym.vector's
+    per-env seed lists mapped through jax.random.key)."""
+    batch = keys.shape[0]
     zeros = jnp.zeros(batch, dtype=jnp.int32)
     st = EnvState(zeros, zeros, zeros, zeros, zeros,
                   t=zeros, n=zeros, key=keys)
@@ -123,14 +135,19 @@ def per_env_uniforms(state: EnvState, count: int, salt: int = 0,
     if rng == "counter":
         from ..ops.step_kernel import _fmix32
         kd = jax.random.key_data(state.key).astype(jnp.uint32)  # [B, 2]
-        base = kd[..., 0] ^ _fmix32(kd[..., 1])
+        # Both 64 key bits enter the hash at SEPARATE pipeline stages: two
+        # envs only replay identical streams if both 32-bit words collide
+        # simultaneously (a single folded 32-bit base would hit birthday
+        # collisions — duplicated trajectories — around 2^16-env batches).
+        base = kd[..., 0]
+        base2 = _fmix32(kd[..., 1] ^ jnp.uint32(0x3C6EF372))
         n = state.n.astype(jnp.uint32)
         cols = []
         for w in range(count):
             c = (n * jnp.uint32(0x85EBCA77)
                  + jnp.uint32((w * 0xC2B2AE3D + salt * 0x9E3779B9)
                               & 0xFFFFFFFF))
-            bits = _fmix32(_fmix32(base ^ c) + c)
+            bits = _fmix32(_fmix32(base ^ c) + (c ^ base2))
             cols.append((bits >> 8).astype(jnp.float32)
                         * jnp.float32(1.0 / (1 << 24)))
         return jnp.stack(cols, axis=-1)
@@ -241,7 +258,27 @@ def step(cfg: EnvConfig, state: EnvState,
     was_goal = rules.is_goal_state(
         jnp, state.rows_a, state.cols_a, state.rows_b, state.cols_b,
         state.poss, cfg)
+    # Goal states are absorbing self-loops (reference :300-301): with
+    # autoreset=False a lane that terminated stays frozen in its terminal
+    # state instead of letting the rules kernel move players out of a goal
+    # column (which would even escape the board).
+    keep = was_goal
+    nra = jnp.where(keep, state.rows_a, nra)
+    nca = jnp.where(keep, state.cols_a, nca)
+    nrb = jnp.where(keep, state.rows_b, nrb)
+    ncb = jnp.where(keep, state.cols_b, ncb)
+    npz = jnp.where(keep, state.poss, npz)
     now_goal = rules.is_goal_state(jnp, nra, nca, nrb, ncb, npz, cfg)
+
+    # Sampled transition probability (reference info["p"], :405): the
+    # unmerged-list entry's probability is combo_prob x outcome weight,
+    # and combo_prob factorizes into the two per-player slip probabilities.
+    q = cfg.slip_prob
+    pv = lambda v: jnp.where(v == 0, 1.0 - q, q * 0.5).astype(jnp.float32)
+    # Absorbing states have a single outcome per combo (weight 1); the
+    # reference still expands them over the 9 slip combos (:229-240).
+    w_sel = jnp.where(was_goal, 1.0, take(out["weight"]).astype(jnp.float32))
+    prob = pv(va) * pv(vb) * w_sel
     # Reward/done per reference :235-240: entering a goal pays the goal
     # reward; starting absorbed in one pays 0.
     ball_col = jnp.where(npz == 0, nca, ncb)
@@ -265,7 +302,8 @@ def step(cfg: EnvConfig, state: EnvState,
         new_state = mid
     return new_state, StepOut(obs=observe(cfg, new_state),
                               reward_a=reward_a, done=done,
-                              truncated=truncated, final_obs=final_obs)
+                              truncated=truncated, final_obs=final_obs,
+                              prob=prob)
 
 
 def rollout(cfg: EnvConfig, state: EnvState, policy_fn, n_steps: int,

@@ -148,9 +148,20 @@ def step(st: MultiGridState, actions_a: jax.Array, actions_b: jax.Array,
     nrb, ncb = take(out["rows_b"]), take(out["cols_b"])
     npz = take(out["poss"]).astype(jnp.int32)
 
+    # Absorbing goal states (reference :235-240, :300-301): with
+    # autoreset=False a terminated lane self-loops and pays 0, exactly like
+    # core/batch.step.
+    was_goal = rules.is_goal_state(jnp, st.rows_a, st.cols_a, st.rows_b,
+                                   st.cols_b, st.poss, geo)
+    nra = jnp.where(was_goal, st.rows_a, nra)
+    nca = jnp.where(was_goal, st.cols_a, nca)
+    nrb = jnp.where(was_goal, st.rows_b, nrb)
+    ncb = jnp.where(was_goal, st.cols_b, ncb)
+    npz = jnp.where(was_goal, st.poss, npz)
+
     now_goal = rules.is_goal_state(jnp, nra, nca, nrb, ncb, npz, geo)
     ball_col = jnp.where(npz == 0, nca, ncb)
-    reward_a = jnp.where(now_goal,
+    reward_a = jnp.where(now_goal & ~was_goal,
                          jnp.where(ball_col == geo.W - 1, 1.0, -1.0),
                          0.0).astype(jnp.float32)
 

@@ -159,6 +159,10 @@ def _pick_first_exceedance(cum_hi_row, cum_lo_row, u_hi, u_lo):
     i = jnp.sum(le, axis=-1).astype(jnp.int32)
     first = jnp.sum((cum_hi_row == 0) & (cum_lo_row == 0),
                     axis=-1).astype(jnp.int32)
+    # An all-zero row (unreachable for current tables: every row carries
+    # full probability mass) would make `first` == slot count; clamp so the
+    # fallback stays in range like the dropped t_first table did.
+    first = jnp.minimum(first, cum_hi_row.shape[-1] - 1)
     return jnp.where(i >= cum_hi_row.shape[-1], first, i)
 
 

@@ -135,11 +135,12 @@ class SoccerAlternatingEnv:
     ACTION_STRING = ['NOOP', 'NORTH', 'SOUTH', 'EAST', 'WEST']
 
     def __init__(self, width=5, height=4, slip_prob=0.0, seed=0,
-                 first_mover=0):
+                 first_mover=0, max_steps=100):
         assert width >= 5, "Width must be at least 5 columns."
         assert height >= 4, "Height must be at least 4 rows."
         self.cfg = EnvConfig(width=width, height=height,
-                             slip_prob=float(slip_prob))
+                             slip_prob=float(slip_prob),
+                             max_steps=int(max_steps))
         self.width, self.height = self.cfg.W, self.cfg.H
         self.slip_prob = float(slip_prob)
         self.goal_rows, self.goal_cols = self.cfg.goal_rows, self.cfg.goal_cols

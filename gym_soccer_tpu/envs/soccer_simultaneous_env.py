@@ -62,15 +62,20 @@ class SoccerSimultaneousEnv:
     TERMINAL_STATE = (-1, -1, -1, -1, -1)
 
     def __init__(self, width=5, height=4, slip_prob=0.0,
-                 player_a_policy=None, player_b_policy=None, seed=0):
-        # Constructor contract (reference :35-58)
+                 player_a_policy=None, player_b_policy=None, seed=0,
+                 max_steps=100):
+        # Constructor contract (reference :35-58).  ``max_steps`` realizes
+        # the intended registration's max_episode_steps (the reference
+        # hardcodes 100 at :404 and passes 100 in its commented-out
+        # register() call, gym_soccer/__init__.py:5-12).
         assert not (player_a_policy is not None and player_b_policy is not None), \
             "Both players cannot have a policy. At least one must be None."
         assert width >= 5, "Width must be at least 5 columns."
         assert height >= 4, "Height must be at least 4 rows."
 
         self.cfg = EnvConfig(width=width, height=height,
-                             slip_prob=float(slip_prob))
+                             slip_prob=float(slip_prob),
+                             max_steps=int(max_steps))
         self.width = self.cfg.W  # internal width incl. goal columns (:48)
         self.height = self.cfg.H
         self.slip_prob = float(slip_prob)

@@ -23,7 +23,9 @@ Operating modes mirror the reference ctor contract (:35-58):
 Autoreset follows gym.vector semantics: instances that terminate or
 truncate return the NEXT episode's first observation, and the pre-reset
 terminal observation is reported in ``infos["final_observation"]`` with
-the standard ``infos["_final_observation"]`` mask.
+the standard ``infos["_final_observation"]`` mask.  Every step also reports
+``infos["p"]`` — the sampled transition's probability rounded to 2 decimals
+per lane, the batched form of the reference's per-agent info dict (:405).
 
 For maximum throughput keep rollouts on device instead (core/batch.rollout
 or ops/step_kernel.pallas_rollout); this facade pays one host round trip
@@ -31,7 +33,7 @@ per call by design — it exists for API compatibility and host-driven loops.
 """
 from __future__ import annotations
 
-import functools
+from types import SimpleNamespace
 
 import jax
 import jax.numpy as jnp
@@ -40,6 +42,7 @@ import numpy as np
 from .. import spaces
 from ..config import EnvConfig, N_ACTIONS
 from ..core import batch, tables
+from ..utils.metrics import EpisodeStats, chunk_stats
 
 
 class SoccerVectorEnv:
@@ -49,12 +52,14 @@ class SoccerVectorEnv:
 
     def __init__(self, num_envs: int, width: int = 5, height: int = 4,
                  slip_prob: float = 0.0, player_a_policy=None,
-                 player_b_policy=None, seed: int = 0):
-        assert player_a_policy is None or player_b_policy is None, \
-            "Cannot freeze both players (reference ctor assert :38)."
+                 player_b_policy=None, seed: int = 0, max_steps: int = 100):
+        if player_a_policy is not None and player_b_policy is not None:
+            raise ValueError(
+                "Cannot freeze both players (reference ctor assert :38).")
         self.num_envs = int(num_envs)
         self.cfg = EnvConfig(width=width, height=height,
-                             slip_prob=float(slip_prob))
+                             slip_prob=float(slip_prob),
+                             max_steps=int(max_steps))
         self.nS = tables.build_statespace(self.cfg).nS
         self.nA = N_ACTIONS
 
@@ -77,14 +82,26 @@ class SoccerVectorEnv:
              for a in self.agents})
 
         self._seed = int(seed)
+        self._seed_list = None      # per-env seeds from reset(seed=[...])
         self._reset_count = 0
         self._state = None  # device EnvState; set by reset()
+        self._stats = EpisodeStats.zero()
+
+        # reset info "p": the ISD is uniform over its entries (reference
+        # _generate_isd :146-165), so every lane's sampled entry has the
+        # same probability 1/nI.
+        n_isd = batch.device_maps(self.cfg).isd_fields.shape[0]
+        self._isd_p = float(np.round(1.0 / n_isd, 2))
 
         cfg = self.cfg
 
         @jax.jit
         def _init(key):
             return batch.init(cfg, key, self.num_envs)
+
+        @jax.jit
+        def _init_keys(keys):
+            return batch.init_from_keys(cfg, keys)
 
         pol_arr = (None if self._policy is None
                    else jnp.asarray(self._policy, jnp.int32))
@@ -102,44 +119,68 @@ class SoccerVectorEnv:
                 ab = frozen_act if frozen == "player_b" else learner
             state, out = batch.step(cfg, state, aa, ab)
             return state, (out.obs, out.reward_a, out.done, out.truncated,
-                           out.final_obs)
+                           out.final_obs, out.prob)
 
         self._init_fn = _init
+        self._init_keys_fn = _init_keys
         self._step_fn = _step
 
     # -- gym.vector surface ------------------------------------------------
 
-    def reset(self, seed: int | None = None):
+    def reset(self, seed=None):
         """Reset ALL instances.  Returns (obs, infos).
 
         Gym semantics: an explicit ``seed`` reseeds the env (identical
         trajectories thereafter); a bare ``reset()`` continues the seeded
-        stream (each call starts fresh, distinct episodes)."""
+        stream (each call starts fresh, distinct episodes).  ``seed`` may
+        be a single int or a per-env sequence of ``num_envs`` ints
+        (gym.vector's per-env seed list)."""
         if seed is not None:
-            self._seed = int(seed)
+            if np.ndim(seed) == 0:
+                self._seed = int(seed)
+                self._seed_list = None
+            else:
+                seeds = np.asarray(seed, np.uint32).ravel()
+                if seeds.shape[0] != self.num_envs:
+                    raise ValueError(
+                        f"seed list must have num_envs={self.num_envs} "
+                        f"entries, got {seeds.shape[0]}")
+                self._seed_list = seeds
             self._reset_count = 0
-        key = jax.random.key(self._seed)
-        if self._reset_count:
-            key = jax.random.fold_in(key, self._reset_count)
+        if self._seed_list is not None:
+            keys = jax.vmap(jax.random.key)(jnp.asarray(self._seed_list))
+            if self._reset_count:
+                keys = jax.vmap(jax.random.fold_in, (0, None))(
+                    keys, jnp.uint32(self._reset_count))
+            self._state = self._init_keys_fn(keys)
+        else:
+            key = jax.random.key(self._seed)
+            if self._reset_count:
+                key = jax.random.fold_in(key, self._reset_count)
+            self._state = self._init_fn(key)
         self._reset_count += 1
-        self._state = self._init_fn(key)
+        self._stats = EpisodeStats.zero()
         obs = np.asarray(batch.observe(self.cfg, self._state))
-        return self._keyed(obs), {}
+        infos = {"p": np.full(self.num_envs, self._isd_p)}
+        return self._keyed(obs), infos
 
     def step(self, actions):
         """Lockstep transition of the whole batch (numpy in / numpy out)."""
-        assert self._state is not None, "reset() must be called before step()"
+        if self._state is None:
+            raise RuntimeError("reset() must be called before step()")
         acts = self._coerce_actions(actions)
         self._state, out = self._step_fn(self._state, acts)
         # One batched transfer: per-array np.asarray would pay one host
         # round trip EACH (~0.4 s apiece on relayed TPU backends).
-        obs, reward_a, done, trunc, final_obs = jax.device_get(out)
+        obs, reward_a, done, trunc, final_obs, prob = jax.device_get(out)
 
-        infos: dict = {}
+        infos: dict = {"p": np.round(prob.astype(np.float64), 2)}
         ended = done | trunc
         if ended.any():
             infos["final_observation"] = np.where(ended, final_obs, 0)
             infos["_final_observation"] = ended
+        self._stats = self._stats.merge(chunk_stats(SimpleNamespace(
+            done=done, truncated=trunc, reward_a=reward_a)))
 
         ra = reward_a.astype(np.float64)
         # player_b's reward is the negation (zero-sum, :400-402); this also
@@ -154,6 +195,15 @@ class SoccerVectorEnv:
     def close(self):
         self._state = None
 
+    # -- metrics -------------------------------------------------------------
+
+    @property
+    def episode_stats(self) -> EpisodeStats:
+        """Aggregated episode statistics since the last reset() — the
+        batched analogue of the reference main()'s episode accounting
+        (soccer_simultaneous_env.py:598-613)."""
+        return self._stats
+
     # -- helpers -----------------------------------------------------------
 
     def _keyed(self, arr: np.ndarray):
@@ -166,14 +216,26 @@ class SoccerVectorEnv:
 
     def _coerce_actions(self, actions) -> jnp.ndarray:
         N = self.num_envs
+
+        def valid(arr, who):
+            arr = np.asarray(arr, np.int32).reshape(N)
+            if ((arr < 0) | (arr >= self.nA)).any():
+                bad = arr[(arr < 0) | (arr >= self.nA)][0]
+                raise ValueError(
+                    f"invalid action {bad} for {who}: actions must be in "
+                    f"[0, {self.nA}) (reference action encoding :8-13)")
+            return arr
+
         if self._frozen is None:
-            assert isinstance(actions, dict) and set(actions) == {
-                "player_a", "player_b"}, \
-                "multiagent mode takes {'player_a': [N], 'player_b': [N]}"
-            aa = np.asarray(actions["player_a"], np.int32).reshape(N)
-            ab = np.asarray(actions["player_b"], np.int32).reshape(N)
+            if not (isinstance(actions, dict)
+                    and set(actions) == {"player_a", "player_b"}):
+                raise ValueError(
+                    "multiagent mode takes {'player_a': [N], "
+                    "'player_b': [N]}")
+            aa = valid(actions["player_a"], "player_a")
+            ab = valid(actions["player_b"], "player_b")
             return jnp.stack([jnp.asarray(aa), jnp.asarray(ab)])
-        a = np.asarray(actions, np.int32).reshape(N)
+        a = valid(actions, self.agents[0])
         return jnp.asarray(a)[None, :]
 
     @property
@@ -198,5 +260,6 @@ def _policy_array(policy, nS: int) -> np.ndarray:
         arr = np.array([int(policy[s]) for s in range(nS)], np.int32)
         return arr
     arr = np.asarray(policy, np.int32)
-    assert arr.shape == (nS,), f"policy must have shape ({nS},)"
+    if arr.shape != (nS,):
+        raise ValueError(f"policy must have shape ({nS},), got {arr.shape}")
     return arr

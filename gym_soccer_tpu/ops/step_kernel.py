@@ -258,10 +258,20 @@ def pallas_rollout(cfg: EnvConfig, seed: jax.Array, batch: int,
     # block the batch and run a grid when it would exceed ~half of VMEM.
     # 32768 lanes x 12 planes x 4 B ~= 1.6 MB/plane block, well clear of
     # the 16 MB scoped limit; 131072 lanes in one block OOMs the compiler.
-    BLOCK_ROWS = block_rows or min(shape[0], 32768 // LANES)
-    n_blocks = shape[0] // BLOCK_ROWS if shape[0] % BLOCK_ROWS == 0 else 0
-    if n_blocks == 0:  # batch not divisible into whole blocks: single block
-        BLOCK_ROWS, n_blocks = shape[0], 1
+    if block_rows:
+        if shape[0] % block_rows:
+            raise ValueError(
+                f"block_rows={block_rows} does not divide the batch's "
+                f"{shape[0]} rows")
+        BLOCK_ROWS = block_rows
+    else:
+        # Largest divisor of the row count within the VMEM cap.  Rows are
+        # always a multiple of 8 (batch % 1024 == 0), so a divisor <= 256
+        # always exists — never silently fall back to one giant block (the
+        # compiler OOMs / wedges the relay above ~32768-lane blocks).
+        cap = min(shape[0], 32768 // LANES)
+        BLOCK_ROWS = next(r for r in range(cap, 0, -1) if shape[0] % r == 0)
+    n_blocks = shape[0] // BLOCK_ROWS
     blk = (BLOCK_ROWS, LANES)
 
     init = list(isd_spread_fields(cfg, batch, shape))

@@ -37,6 +37,11 @@ def make(env_id: str, **overrides) -> Any:
             f"Unknown env id {env_id!r}; known: {sorted(_REGISTRY)}")
     spec = _REGISTRY[env_id]
     kwargs = dict(spec["kwargs"])
+    # The spec's max_episode_steps is the registered truncation horizon —
+    # gym's register() wires it into a TimeLimit wrapper (the reference's
+    # intended registration, gym_soccer/__init__.py:5-12); here it becomes
+    # the env's max_steps unless the caller overrides it.
+    kwargs.setdefault("max_steps", spec["max_episode_steps"])
     kwargs.update(overrides)
     return spec["entry_point"](**kwargs)
 

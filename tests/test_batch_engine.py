@@ -45,6 +45,29 @@ def test_autoreset_restores_isd_and_zero_t():
     assert set(out.obs[term].ravel().tolist()) <= isd_obs
 
 
+def test_absorbing_goal_state_self_loops_without_autoreset():
+    """Stepping an already-terminal lane with autoreset=False self-loops
+    and pays 0 (reference :235-240, :300-301): the state must NOT move
+    (players could otherwise walk out of the goal column off the board)
+    and done stays True."""
+    st = jax.jit(lambda k: batch.init(CFG, k, 8))(jax.random.key(0))
+    # A in the right goal column with the ball -> terminal goal state
+    inj = st._replace(rows_a=jnp.full(8, 1, jnp.int32),
+                      cols_a=jnp.full(8, CFG.W - 1, jnp.int32),
+                      rows_b=jnp.full(8, 2, jnp.int32),
+                      cols_b=jnp.full(8, 3, jnp.int32),
+                      poss=jnp.zeros(8, jnp.int32))
+    step = jax.jit(lambda s, a, b: batch.step(CFG, s, a, b, autoreset=False))
+    s2, out = inj, None
+    for a in range(5):  # every own action, random-ish opponent
+        acts = jnp.full(8, a, jnp.int32)
+        s2, out = step(s2, acts, (acts + 3) % 5)
+        assert (np.asarray(out.reward_a) == 0).all()
+        assert np.asarray(out.done).all()
+        for f, g in zip(_fields(s2)[:5], _fields(inj)[:5]):
+            assert np.array_equal(f, g)
+
+
 def test_truncation_at_max_steps():
     # NOOP-vs-NOOP never terminates; every episode must truncate at 100.
     pol = lambda obs, i: (jnp.zeros(B, jnp.int32), jnp.zeros(B, jnp.int32))

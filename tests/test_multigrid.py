@@ -79,6 +79,34 @@ def test_rewards_are_goal_consistent(final_and_traj):
     assert set(np.unique(rew)).issubset({-1.0, 0.0, 1.0})
 
 
+def test_absorbing_goal_pays_zero_without_autoreset():
+    """With autoreset=False a terminated lane self-loops and never pays the
+    goal reward again (reference :235-240 'starting absorbed => r=0';
+    round-1 VERDICT weak #2)."""
+    cfgs = [EnvConfig(5, 4, 0.0), EnvConfig(7, 5, 0.0)]
+    st = jax.jit(lambda k: multigrid.init(cfgs, k, 8))(jax.random.key(0))
+    # Inject every lane into ITS OWN variant's right-goal terminal state:
+    # A on a goal row in goal column W-1 with possession.
+    glo = np.asarray(st.geo.glo)
+    W = np.asarray(st.geo.W)
+    st = st._replace(
+        rows_a=jnp.asarray(glo), cols_a=jnp.asarray(W - 1),
+        rows_b=jnp.asarray(glo + 1), cols_b=jnp.asarray(W - 3),
+        poss=jnp.zeros(8, jnp.int32))
+    step = jax.jit(lambda s, a, b: multigrid.step(s, a, b, autoreset=False))
+    ref = jax.tree.map(np.asarray,
+                       (st.rows_a, st.cols_a, st.rows_b, st.cols_b, st.poss))
+    for a in range(5):
+        acts = jnp.full(8, a, jnp.int32)
+        st, (rew, goal, trunc) = step(st, acts, (acts + 2) % 5)
+        assert (np.asarray(rew) == 0).all()
+        assert np.asarray(goal).all()
+        now = jax.tree.map(np.asarray, (st.rows_a, st.cols_a, st.rows_b,
+                                        st.cols_b, st.poss))
+        for f, g in zip(now, ref):
+            assert np.array_equal(f, g)
+
+
 def test_salted_random_play_is_balanced():
     """Random play with a SALTED policy stream must score both goals about
     equally in every variant.  (A salt-0 policy consumes the very uniforms

@@ -48,6 +48,29 @@ def test_registry_make_and_overrides():
         gst.make("NoSuchEnv-v0")
 
 
+def test_registry_max_episode_steps_applied():
+    """The registered max_episode_steps becomes the env's truncation
+    horizon (the reference's intended register() wires it into TimeLimit,
+    gym_soccer/__init__.py:5-12) and is overridable at make()."""
+    gst.register("SoccerShort-v0", max_episode_steps=3,
+                 width=5, height=4, slip_prob=0.0)
+    env = gst.make("SoccerShort-v0")
+    assert env.cfg.max_steps == 3
+    env.reset(seed=0)
+    noop = {"player_a": 0, "player_b": 0}
+    for i in range(3):
+        _, _, dones, truncs, _ = env.step(noop)
+        assert not any(dones.values())
+        assert all(truncs.values()) == (i == 2)
+    assert env.needs_reset
+
+    # caller override wins
+    env2 = gst.make("SoccerShort-v0", max_steps=5)
+    assert env2.cfg.max_steps == 5
+    # default registration keeps the reference's 100 (:404)
+    assert gst.make("SoccerSimultaneous-v0").cfg.max_steps == 100
+
+
 def test_profiling_phase_and_throughput():
     from gym_soccer_tpu.utils.profiling import Throughput, phase, phase_report
     with phase("unit", sync=False):

@@ -11,7 +11,8 @@ import sys
 
 import pytest
 
-REF = "/root/reference/gym_soccer/tests"
+REF = os.path.join(os.environ.get("REFERENCE_PATH", "/root/reference"),
+                   "gym_soccer", "tests")
 
 
 @pytest.mark.skipif(not os.path.isdir(REF),

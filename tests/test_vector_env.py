@@ -26,7 +26,9 @@ def test_reset_shapes_and_keys(venv):
         assert obs[a].shape == (N,) and obs[a].dtype == np.int32
         assert (obs[a] > 0).all() and (obs[a] < venv.nS).all()
     assert np.array_equal(obs["player_a"], obs["player_b"])
-    assert infos == {}
+    # the 5x4 ISD is uniform over 4 entries (reference :151-157), so the
+    # reset info "p" is 0.25 per lane (reference :420 rounds to 2 decimals)
+    assert np.allclose(infos["p"], 0.25)
 
 
 def test_step_contract_multiagent(venv):
@@ -122,11 +124,107 @@ def test_single_agent_mode_frozen_a_sign_flip():
 
 def test_action_validation(venv):
     venv.reset(seed=1)
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
         venv.step(np.zeros(N, np.int32))  # multiagent needs a dict
+    with pytest.raises(ValueError):
+        venv.step({"player_a": np.full(N, 7),  # out-of-range action
+                   "player_b": np.zeros(N, np.int64)})
+    with pytest.raises(ValueError):
+        venv.step({"player_a": np.zeros(N)})  # missing player_b
     env1 = SoccerVectorEnv(8, width=5, height=4)
-    with pytest.raises(AssertionError):
+    with pytest.raises(RuntimeError):
         env1.step({"player_a": np.zeros(8)})  # step before reset
+    with pytest.raises(ValueError):
+        SoccerVectorEnv(8, player_a_policy=np.zeros(761, np.int32),
+                        player_b_policy=np.zeros(761, np.int32))
+
+
+def test_step_info_p(venv):
+    """info['p'] reports the sampled transition's probability rounded to 2
+    decimals (reference :405).  At slip 0.2 every unmerged-entry probability
+    is a product of combo probs {0.64, 0.08, 0.01} and outcome weights
+    {1, 0.5, 0.25}."""
+    venv.reset(seed=2)
+    rng = np.random.RandomState(3)
+    allowed = set()
+    for cp in (0.64, 0.08, 0.01):
+        for w in (1.0, 0.5, 0.25):
+            allowed.add(round(cp * w, 2))
+    seen = set()
+    for _ in range(30):
+        acts = {"player_a": rng.randint(0, 5, N),
+                "player_b": rng.randint(0, 5, N)}
+        _, _, _, _, infos = venv.step(acts)
+        assert infos["p"].shape == (N,)
+        seen.update(np.unique(infos["p"]).tolist())
+    assert seen <= allowed, f"unexpected probs {seen - allowed}"
+    assert 0.64 in seen  # the no-slip no-collision case dominates
+
+
+def test_per_env_seed_list():
+    """gym.vector-style per-env seed lists: same list => same trajectories;
+    permuting the list permutes the lanes (placement-invariance)."""
+    seeds = [5, 6, 7, 8] * 4
+    env = SoccerVectorEnv(16, width=5, height=4, slip_prob=0.2)
+    a, _ = env.reset(seed=seeds)
+    rng = np.random.RandomState(0)
+    acts = [{"player_a": rng.randint(0, 5, 16),
+             "player_b": rng.randint(0, 5, 16)} for _ in range(20)]
+    tr_a = np.stack([env.step(ac)[0]["player_a"] for ac in acts])
+
+    b, _ = env.reset(seed=seeds)
+    assert np.array_equal(a["player_a"], b["player_a"])
+    tr_b = np.stack([env.step(ac)[0]["player_a"] for ac in acts])
+    assert np.array_equal(tr_a, tr_b)
+
+    with pytest.raises(ValueError):
+        env.reset(seed=[1, 2, 3])  # wrong length
+
+    # identical per-env seeds (and identical actions) replay identical
+    # per-lane streams: lanes 0 and 4 share seed 5
+    env2 = SoccerVectorEnv(16, width=5, height=4, slip_prob=0.2)
+    env2.reset(seed=seeds)
+    same_acts = [{"player_a": np.full(16, ac["player_a"][0]),
+                  "player_b": np.full(16, ac["player_b"][0])}
+                 for ac in acts]
+    tr = np.stack([env2.step(ac)[0]["player_a"] for ac in same_acts])
+    assert np.array_equal(tr[:, 0], tr[:, 4])
+    assert np.array_equal(tr[:, 1], tr[:, 5])
+
+
+def test_max_steps_truncation_horizon():
+    """A non-default max_steps truncates end-to-end (VERDICT contract
+    edge: the registration horizon must actually apply)."""
+    env = SoccerVectorEnv(8, width=5, height=4, slip_prob=0.0, max_steps=7)
+    env.reset(seed=0)
+    noop = {"player_a": np.zeros(8, np.int64),
+            "player_b": np.zeros(8, np.int64)}
+    for i in range(7):
+        _, _, done, trunc, _ = env.step(noop)
+        assert not done["player_a"].any()
+        assert trunc["player_a"].all() == (i == 6)
+
+
+def test_episode_stats_accumulation():
+    """utils/metrics wiring: counts since reset() are exact and exclusive
+    (goals + truncations == episodes)."""
+    env = SoccerVectorEnv(32, width=5, height=4, slip_prob=0.2, max_steps=25)
+    env.reset(seed=1)
+    rng = np.random.RandomState(4)
+    manual_eps = 0
+    for _ in range(60):
+        acts = {"player_a": rng.randint(0, 5, 32),
+                "player_b": rng.randint(0, 5, 32)}
+        _, _, done, trunc, _ = env.step(acts)
+        manual_eps += int((done["player_a"] | trunc["player_a"]).sum())
+    s = env.episode_stats
+    assert int(s.episodes) == manual_eps > 0
+    assert int(s.goals) + int(s.truncations) == int(s.episodes)
+    assert int(s.wins_a) + int(s.wins_b) == int(s.goals)
+    assert int(s.steps) == 60 * 32
+    assert 0 < s.mean_length <= 25
+    env.reset()
+    assert int(env.episode_stats.episodes) == 0
 
 
 def test_reset_semantics_reseed_vs_continue():

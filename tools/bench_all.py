@@ -53,18 +53,30 @@ def bench_facade(quick):
 
 
 def bench_xla(quick):
-    """Stacked-trajectory rollout (journals [T, B] StepOut to HBM)."""
+    """Stacked-trajectory rollout (journals [T, B] StepOut to HBM), with
+    on-device episode aggregation (utils/metrics.chunk_stats)."""
+    from gym_soccer_tpu.utils.metrics import chunk_stats
     B, T = 8192, 200 if quick else 1000
     pol = batch.random_policy_fn(CFG, jax.random.key(1), B)
     st = jax.jit(lambda k: batch.init(CFG, k, B))(jax.random.key(0))
-    roll = jax.jit(lambda s: batch.rollout(CFG, s, pol, T))
+
+    @jax.jit
+    def roll(s):
+        s, out = batch.rollout(CFG, s, pol, T)
+        return s, chunk_stats(out)
+
+    stats = None
 
     def run():
-        nonlocal st
-        st, out = roll(st)
-        fetch(out.reward_a.sum())
+        nonlocal st, stats
+        st, stats = roll(st)
+        fetch(stats.reward_a_sum)
 
     dt = timed(run)
+    print(json.dumps({"path": "xla_batch_engine_traj/episode_stats",
+                      "episodes": int(fetch(stats.episodes)),
+                      "goals": int(fetch(stats.goals)),
+                      "mean_length": round(stats.mean_length, 2)}))
     return B * T / dt
 
 

@@ -19,9 +19,17 @@ import sys
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
-REF_TESTS = "/root/reference/gym_soccer/tests"
+# Override with REFERENCE_PATH for checkouts elsewhere (e.g. public CI
+# clones the upstream repo into a temp dir).
+REF_ROOT = os.environ.get("REFERENCE_PATH", "/root/reference")
+REF_TESTS = os.path.join(REF_ROOT, "gym_soccer", "tests")
 
 def main():
+    if not os.path.isdir(REF_TESTS):
+        print(f"reference tests not found at {REF_TESTS}; set "
+              "REFERENCE_PATH to a checkout of the upstream repo",
+              file=sys.stderr)
+        raise SystemExit(2)
     env = dict(os.environ)
     env["PYTHONPATH"] = os.pathsep.join(
         [os.path.join(HERE, "refcompat"), os.path.join(HERE, "refstub"),
