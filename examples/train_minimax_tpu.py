@@ -61,8 +61,33 @@ def main():
     ap.add_argument("--ckpt", type=str, default="")
     ap.add_argument("--fused", action="store_true",
                     help="use the pallas fused learner kernel "
-                         "(ops/learner_kernel.py, ~6x faster on-chip)")
+                         "(ops/learner_kernel.py, ~40x faster on-chip)")
+    ap.add_argument("--converge", action="store_true",
+                    help="run the verified equilibrium recipe (2.1B steps, "
+                         "~2 min on one v5e chip): lr=1.0 Bellman-backup "
+                         "phase then polynomial anneal; reaches "
+                         "exploitability ~0.004 vs the exact solver's "
+                         "~0.002 (BASELINE.md)")
     args = ap.parse_args()
+
+    if args.converge:
+        from gym_soccer_tpu.ops import learner_kernel as lk
+        cfg = EnvConfig(width=5, height=4, slip_prob=0.2)
+        t0 = time.perf_counter()
+        q, v, pa, pb, hist = lk.fused_minimax_train(
+            cfg, batch=65536, n_chunks=1000, chunk_len=32,
+            lr=1.0, eps=0.2, lr_anneal_start=500, lr_anneal_tau=25.0,
+            lr_anneal_pow=1.5, solver_iters=400, final_solver_iters=3000,
+            seed=1)
+        dt = time.perf_counter() - t0
+        steps = 1000 * 32 * 65536
+        log_json(event="finished_converge", env_steps=steps,
+                 seconds=round(dt, 1),
+                 env_steps_per_s=round(steps / dt),
+                 exploitability=round(float(exploitability(cfg, pa, pb)), 5))
+        log_json(event="eval_episode_stats",
+                 **eval_episode_stats(cfg, pa, pb))
+        return
 
     if args.fused:
         from gym_soccer_tpu.ops import learner_kernel as lk
@@ -71,8 +96,9 @@ def main():
         t0 = time.perf_counter()
         q, v, pa, pb, hist = lk.fused_minimax_train(
             cfg, batch=args.envs, n_chunks=n_chunks, chunk_len=64,
-            lr=0.3, eps=0.3, lr_halflife=args.steps // 5,
-            eps_halflife=args.steps // 3)
+            lr=1.0, eps=0.2,
+            lr_anneal_start=n_chunks // 2, lr_anneal_tau=25.0,
+            lr_anneal_pow=1.5, final_solver_iters=2000)
         dt = time.perf_counter() - t0
         steps = n_chunks * 64 * args.envs
         log_json(event="finished_fused", env_steps=steps,

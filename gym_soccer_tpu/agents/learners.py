@@ -194,6 +194,7 @@ class MinimaxQState(NamedTuple):
     pi_b: jax.Array     # [nS, 5] — B's minimax mixed strategy
     env: batch.EnvState
     step: jax.Array
+    n: jax.Array        # [nS, 5, 5] — lifetime visit counts (decayed-alpha)
 
 
 class MinimaxQConfig(NamedTuple):
@@ -204,6 +205,14 @@ class MinimaxQConfig(NamedTuple):
     solver_iters: int = 200
     lr_halflife: int = 0      # steps to halve lr (0 = constant), as in
     eps_halflife: int = 0     # Littman's decayed-alpha schedule
+    # Per-cell Robbins-Monro schedule (Littman 1994's decayed alpha, done
+    # per (s, aa, ab) like his per-visit decay): lr_cell =
+    # lr * (1 + N(s,aa,ab)/tau)^(-pow).  Polynomial decay keeps
+    # sum(lr) = inf (unlike the exponential halflife, which stops learning
+    # at a fixed error floor) while still driving the noise floor to 0.
+    count_lr_tau: float = 0.0   # 0 disables; counts-per-cell scale
+    count_lr_pow: float = 0.85  # in (0.5, 1] for RM convergence
+    eps_min: float = 0.0        # exploration floor under eps_halflife
 
 
 def minimax_init(cfg: EnvConfig, key: jax.Array, n_envs: int) -> MinimaxQState:
@@ -215,6 +224,7 @@ def minimax_init(cfg: EnvConfig, key: jax.Array, n_envs: int) -> MinimaxQState:
         pi_a=uniform, pi_b=uniform,
         env=batch.init(cfg, key, n_envs),
         step=jnp.int32(0),
+        n=jnp.zeros((nS, N_ACTIONS, N_ACTIONS), jnp.float32),
     )
 
 
@@ -234,7 +244,7 @@ def minimax_step(cfg: EnvConfig, lcfg: MinimaxQConfig, state: MinimaxQState,
     fstep = state.step.astype(jnp.float32)
     decay = lambda hl: jnp.where(hl > 0, 0.5 ** (fstep / jnp.maximum(hl, 1)),
                                  1.0)
-    eps = lcfg.eps * decay(lcfg.eps_halflife)
+    eps = jnp.maximum(lcfg.eps * decay(lcfg.eps_halflife), lcfg.eps_min)
     lr = lcfg.lr * decay(lcfg.lr_halflife)
     explore = eps / nA
     pa = state.pi_a[obs] * (1 - eps) + explore
@@ -254,6 +264,9 @@ def minimax_step(cfg: EnvConfig, lcfg: MinimaxQConfig, state: MinimaxQState,
     if psum_axis is not None:
         sum_td = jax.lax.psum(sum_td, psum_axis)
         cnt = jax.lax.psum(cnt, psum_axis)
+    n = state.n + cnt
+    if lcfg.count_lr_tau > 0:
+        lr = lr * (1.0 + n / lcfg.count_lr_tau) ** (-lcfg.count_lr_pow)
     q = state.q + lr * sum_td / jnp.maximum(cnt, 1.0)
 
     # Periodic batched re-solve of ALL state games (761 x 5x5 at once).
@@ -266,7 +279,7 @@ def minimax_step(cfg: EnvConfig, lcfg: MinimaxQConfig, state: MinimaxQState,
         do, resolve, lambda qv: (state.v, state.pi_a, state.pi_b), q)
 
     new = MinimaxQState(q=q, v=v, pi_a=pi_a, pi_b=pi_b, env=env2,
-                        step=state.step + 1)
+                        step=state.step + 1, n=n)
     return new, jnp.abs(td).mean()
 
 

@@ -167,13 +167,20 @@ def _pick_first_exceedance(cum_hi_row, cum_lo_row, u_hi, u_lo):
 
 
 def parity_step(cfg: EnvConfig, pt: ParityTables, state: ParityState,
-                row: jax.Array, stream_hi: jax.Array, stream_lo: jax.Array
+                row: Optional[jax.Array], stream_hi: jax.Array,
+                stream_lo: jax.Array, pol_rows: Optional[jax.Array] = None
                 ) -> tuple[ParityState, ParityOut]:
     """One reference-exact transition per instance.
 
     ``row``: int32 [B] table row (aa*5+ab joint index, or the learner's
     action in single-agent mode).  ``stream_hi/lo``: [B, n_draws] uint32
     per-instance MT19937 bit streams from `gen_streams`.
+
+    ``pol_rows``: optional int32 [nS] CLOSED-LOOP policy — the table row
+    to play at each dense observation.  When given, ``row`` is ignored
+    and computed ON DEVICE from the post-reset observation, exactly like
+    the reference main() driving ``policy[obs['player_a']]``
+    (soccer_simultaneous_env.py:588-593).  Build it with `policy_rows`.
     """
     B = state.raw.shape[0]
     bidx = jnp.arange(B)
@@ -197,6 +204,8 @@ def parity_step(cfg: EnvConfig, pt: ParityTables, state: ParityState,
     # ---- transition draw (reference step(), :375-408) ----
     u_hi, u_lo = take(cursor)
     s = jnp.asarray(pt.raw_to_dense)[raw]
+    if pol_rows is not None:
+        row = jnp.asarray(pol_rows, jnp.int32)[s]
     pair = jnp.asarray(pt.cum_pair)[s, row]          # [B, 36, 2]
     cum_hi, cum_lo = pair[..., 0], pair[..., 1]
     i = _pick_first_exceedance(cum_hi, cum_lo, u_hi, u_lo)
@@ -233,6 +242,51 @@ def parity_rollout(cfg: EnvConfig, pt: ParityTables, state: ParityState,
 
 def joint_row(actions_a, actions_b) -> jax.Array:
     return actions_a * N_ACTIONS + actions_b
+
+
+def policy_rows(pt: ParityTables, policy_a=None, policy_b=None) -> jax.Array:
+    """Dense-obs -> table-row map for closed-loop rollouts.
+
+    * single-agent tables (n_rows == 5, one side collapsed): pass the
+      live side's deterministic policy [nS];
+    * joint tables (n_rows == 25): pass both policies — the row is the
+      joint index pol_a[s]*5 + pol_b[s].
+    """
+    if pt.n_rows == N_ACTIONS:
+        pol = policy_a if policy_a is not None else policy_b
+        assert pol is not None, "single-agent tables need the live policy"
+        return jnp.asarray(pol, jnp.int32)
+    assert policy_a is not None and policy_b is not None, \
+        "joint tables need both policies"
+    return (jnp.asarray(policy_a, jnp.int32) * N_ACTIONS
+            + jnp.asarray(policy_b, jnp.int32))
+
+
+def parity_policy_rollout(cfg: EnvConfig, pt: ParityTables,
+                          state: ParityState, pol_rows: jax.Array,
+                          n_steps: int, stream_hi: jax.Array,
+                          stream_lo: jax.Array):
+    """Closed-loop scan: the policy plays itself for ``n_steps`` ticks
+    (episodes auto-chain through reset draws exactly like the reference
+    main()'s `while not all_done` / `env.reset()` loop, :569-597)."""
+    def body(carry, _):
+        return parity_step(cfg, pt, carry, None, stream_hi, stream_lo,
+                           pol_rows=pol_rows)
+
+    return jax.lax.scan(body, state, None, length=n_steps)
+
+
+def parity_policy_rollout_device(cfg: EnvConfig, pt: ParityTables, seeds,
+                                 pol_rows: jax.Array, n_steps: int):
+    """Closed-loop parity rollout with ON-DEVICE MT19937 streams (see
+    parity_rollout_device): whole policy evaluations — e.g. the reference
+    main()'s 1000-episode VI eval — reproduced bit-exactly per lane."""
+    from . import mt19937
+    seeds = jnp.asarray(seeds, jnp.uint32)
+    n_draws = 2 * n_steps + 2
+    hi, lo = mt19937.device_streams(seeds, n_draws)
+    state = parity_init(cfg, seeds.shape[0])
+    return parity_policy_rollout(cfg, pt, state, pol_rows, n_steps, hi, lo)
 
 
 def parity_rollout_device(cfg: EnvConfig, pt: ParityTables, seeds,

@@ -189,6 +189,46 @@ def is_unreachable(xp, xa, ya, xb, yb, p, cfg: EnvConfig):
     return corner | goal_no_ball | same_cell
 
 
+def n_cells(cfg: EnvConfig) -> int:
+    """Number of VALID board cells: interior columns are fully valid; the
+    two goal columns only at the goal rows (every other goal-column cell is
+    unreachable, reference :74-80)."""
+    lo, hi = cfg.goal_row_bounds
+    return (cfg.W - 2) * cfg.H + 2 * (hi - lo + 1)
+
+
+def n_cellpairs(cfg: EnvConfig) -> int:
+    """Size of the compact (cell_a, cell_b != cell_a, poss) code space."""
+    nc = n_cells(cfg)
+    return 2 * nc * (nc - 1)
+
+
+def cell_encode(xp, r, c, cfg: EnvConfig):
+    """Closed-form rank of a VALID cell (see n_cells).  Branchless, so it
+    runs inside pallas kernels; inputs must be valid cells (every state the
+    rules kernel can produce is)."""
+    lo, hi = cfg.goal_row_bounds
+    ni = (cfg.W - 2) * cfg.H
+    interior = (c - 1) * cfg.H + r
+    goal = ni + (r - lo) + xp.where(c == cfg.W - 1, hi - lo + 1, 0)
+    return xp.where((c == 0) | (c == cfg.W - 1), goal, interior)
+
+
+def cellpair_encode(xp, xa, ya, xb, yb, p, cfg: EnvConfig):
+    """Compact closed-form state code over (valid cell A, valid cell B,
+    possession) with the always-true A != B constraint folded in — 2.2x
+    smaller than the raw mixed-radix space for 5x4 (1104 vs 1568 codes),
+    which directly shrinks the one-hot matmuls of the fused learner kernel
+    and lets 11x7 (nS=11705) fit its VMEM tables.  Valid for every state
+    the rules kernel produces (players never co-locate; goal columns only
+    entered on goal rows)."""
+    nc = n_cells(cfg)
+    a = cell_encode(xp, xa, ya, cfg)
+    b = cell_encode(xp, xb, yb, cfg)
+    b_rank = b - (b > a).astype(b.dtype)  # remove the diagonal
+    return (a * (nc - 1) + b_rank) * 2 + p
+
+
 def raw_encode(xp, xa, ya, xb, yb, p, cfg: EnvConfig):
     """Mixed-radix raw code in the reference's enumeration order
     (xa, ya, xb, yb, p ascending, :66-70)."""

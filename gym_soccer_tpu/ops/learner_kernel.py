@@ -5,12 +5,16 @@ The XLA learner path tops out at the generic engine's per-step overhead
 on-chip, expressing every table interaction as an MXU matmul (the
 TPU-native form of gather/scatter):
 
-* pi_a / pi_b / Q / v are packed into one VMEM matrix M [SPAD, 128],
-  indexed by RAW state code (padded to a lane multiple) — raw indexing
-  needs no dense-lookup gather at all; unreachable rows are simply dead;
-* per step, per lane block: one_hot(raw) @ M fetches each env's policy
-  rows, Q row and (with the post-step one-hot) v[next] — two matmuls;
-* TD sums and visit counts accumulate into acc [SPAD, 128] via a
+* pi_a / pi_b / Q / v are packed into one VMEM matrix M [spc, 128]
+  bfloat16, indexed by the COMPACT closed-form cellpair code
+  (core/rules.cellpair_encode — arithmetic, no dense-lookup gather;
+  2.2x fewer rows than raw-code padding on 5x4, and small enough that
+  11x7 fits VMEM);
+* ONE matmul gather per step: one_hot(cp) @ M fetches each env's policy
+  rows, Q row AND the v[next] the PREVIOUS step's TD was waiting for
+  (pipelined TD retirement — terminated lanes mask v with cont=0, so the
+  autoreset rewrite never corrupts a target);
+* TD sums and visit counts accumulate into acc [spc, 128] f32 via a
   one_hot^T @ packed-columns matmul (cols 0:25 sum-TD, 32:57 counts);
 * the env transition is ops/step_kernel.transition_core (same branchless
   chain and counter PRNG as the 11B-steps/s rollout kernel).
@@ -34,79 +38,182 @@ from ..config import EnvConfig, N_ACTIONS
 from . import step_kernel as sk
 
 LANES = 128
-RB = 4                       # lane-block rows per matmul (512 lanes; RB=8 overflows VMEM)
+RB = 32                      # lane-block rows per matmul (4096 lanes); the
+#                              slabbed big-grid path uses RB_SLABBED to keep
+#                              one-hot intermediates inside VMEM
+RB_SLABBED = 8
 NJ = N_ACTIONS * N_ACTIONS   # 25 joint actions
+# M column layout.  Q and v are stored DOUBLE-bf16 (hi = bf16 round, lo =
+# f32 residual, recombined after the one-hot gather): the gather matmuls
+# run in bf16 for MXU rate, but a bf16-quantized TD baseline/target puts a
+# ~2^-9 relative floor under Q — observable as an exploitability plateau.
+# Split columns restore ~2^-17 at zero extra matmul cost (one-hot rows
+# select exactly; each column's product is exact in the f32 accumulator).
+# Policies stay single bf16: they only drive behavior sampling, which is
+# already 16-bit fixed-point and does not bias the off-policy fixed point.
 COL_PI_A, COL_PI_B, COL_Q, COL_V = 0, 5, 10, 35
+COL_V_LO, COL_Q_LO = 36, 37
 ACC_TD, ACC_CNT = 0, 32
 
 
-def spad(cfg: EnvConfig) -> int:
-    return -(-cfg.n_raw // LANES) * LANES
+SLAB_MAX = 1024
+
+
+def spc(cfg: EnvConfig) -> int:
+    """Padded compact state-code count (see core/rules.cellpair_encode):
+    one M/acc row per (cell_a, cell_b != cell_a, poss) code — 2.2x fewer
+    MXU lanes than raw-code padding on 5x4 and small enough that 11x7
+    (nS=11705) fits the kernel's VMEM tables."""
+    from ..core import rules
+    sp = -(-rules.n_cellpairs(cfg) // LANES) * LANES
+    if sp > 2 * SLAB_MAX:  # slabbed gathers need SLAB_MAX | SP
+        sp = -(-sp // SLAB_MAX) * SLAB_MAX
+    return sp
+
+
+# Backwards-compatible alias (pre-compaction name).
+spad = spc
 
 
 def _learner_kernel(seed_ref, m_ref, ra_ref, ca_ref, rb_ref, cb_ref,
                     p_ref, t_ref,
                     ora, oca, orb, ocb, op, ot, acc_ref, stats_ref,
                     *, cfg: EnvConfig, n_steps: int, q_int: int,
-                    gamma: float):
+                    gamma: float, rb: int):
+    """Block-major fused actor/TD loop.
+
+    Each RB*128-lane block runs its whole n_steps trajectory in one inner
+    fori_loop; blocks are independent (the counter PRNG is keyed on global
+    lane id) and share only the acc scatter target.
+
+    ONE gather matmul per step: step i's TD needs v[next_i], and step
+    i+1's gather fetches exactly that state's row (autoreset only rewrites
+    terminated lanes, whose cont is 0, masking v away) — so the TD of step
+    i is retired during step i+1's gather, and a single trailing gather
+    retires the last step.  Large grids (SP > 2*SLAB_MAX) process M/acc in
+    SLAB_MAX-row slabs so one-hot intermediates stay bounded.
+    """
+    from ..core import rules
+    RB = rb
     seed = seed_ref[0].astype(jnp.uint32)
     R = ra_ref.shape[0]
     n_blocks = R // RB
     SP = m_ref.shape[0]
+    SLAB = SP if SP <= 2 * SLAB_MAX else SLAB_MAX
+    n_slabs = SP // SLAB
     blk_shape = (RB, LANES)
 
     acc_ref[:] = jnp.zeros_like(acc_ref)
     rows_iota = jax.lax.broadcasted_iota(jnp.uint32, blk_shape, 0)
     cols_iota = jax.lax.broadcasted_iota(jnp.uint32, blk_shape, 1)
-    s_iota = jax.lax.broadcasted_iota(jnp.int32, blk_shape + (SP,), 2)
+    s_iota = jax.lax.broadcasted_iota(jnp.int32, blk_shape + (SLAB,), 2)
     c_iota = jax.lax.broadcasted_iota(jnp.int32, blk_shape + (LANES,), 2)
-    M = m_ref[:].astype(jnp.bfloat16)  # gather operands in bf16 (4x MXU
-    # rate; one-hots are exact in bf16, and policy/Q/v values tolerate
-    # ~0.4% rounding — the TD accumulator itself stays f32)
+    gamma_f = jnp.float32(gamma)
 
-    def raw_of(ra, ca, rb, cb, p):
-        from ..core import rules
-        return rules.raw_encode(jnp, ra, ca, rb, cb, p, cfg)
+    def cell_of(ra, ca, rb, cb, p):
+        return rules.cellpair_encode(jnp, ra, ca, rb, cb, p, cfg)
 
-    def gather_rows(raw):
-        """one_hot(raw) @ M -> [RB, 128, 128] (policy/Q/v columns)."""
-        oh = (s_iota == raw[..., None]).astype(jnp.bfloat16)
-        return jax.lax.dot_general(
-            oh, M, (((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+    sp_iota = jax.lax.broadcasted_iota(jnp.int32, (SLAB, LANES), 0)
+
+    def gather_rows(cp):
+        """M^T one-hot gather -> preT [RB, 128 M-cols, 128 lanes] f32.
+
+        TRANSPOSED on purpose: downstream reads ~60 M-columns per step
+        (policy cumsums, 50 Q column selects, v); with columns on the
+        MIDDLE dim each read is a cheap major-dim slice, where the natural
+        [lanes, cols] orientation would pay a cross-lane extract per read
+        (the dominant cost of the previous kernel).  Both one-hot operands
+        contract over their sublane dim — no relayouts."""
+        outs = []
+        for rr in range(RB):
+            if n_slabs == 1:
+                oh = (sp_iota == cp[rr][None, :]).astype(jnp.bfloat16)
+                outs.append(jax.lax.dot_general(
+                    m_ref[:], oh, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+            else:
+                def body(j, acct):
+                    off = j * SLAB
+                    oh = ((sp_iota + off) == cp[rr][None, :]).astype(
+                        jnp.bfloat16)
+                    msl = m_ref[pl.ds(off, SLAB), :]
+                    return acct + jax.lax.dot_general(
+                        msl, oh, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                outs.append(jax.lax.fori_loop(
+                    0, n_slabs, body,
+                    jnp.zeros((LANES, LANES), jnp.float32)))
+        return jnp.stack(outs)
+
+    def scatter_add(cp, X):
+        """acc[cp] += X (one_hot^T matmuls; Mosaic takes single contracting
+        dims only, so the RB block rows unroll)."""
+        def add_slab(oh, upd):
+            for rr in range(RB):
+                upd = upd + jax.lax.dot_general(
+                    oh[rr], X[rr], (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            return upd
+
+        if n_slabs == 1:
+            oh = (s_iota == cp[..., None]).astype(jnp.bfloat16)
+            acc_ref[:] = add_slab(oh, acc_ref[:])
+            return
+
+        def body(j, _):
+            off = j * SLAB
+            oh = ((s_iota + off) == cp[..., None]).astype(jnp.bfloat16)
+            acc_ref[pl.ds(off, SLAB), :] = add_slab(
+                oh, acc_ref[pl.ds(off, SLAB), :])
+            return 0
+
+        jax.lax.fori_loop(0, n_slabs, body, 0)
+
+    def col(pre, c):
+        return pre[:, c, :]
 
     def sample5(pre, base, u01):
         """First-exceedance sample from 5 probability columns of pre."""
-        c = pre[..., base]
+        c = col(pre, base)
         total = c
         for k in range(1, N_ACTIONS):
-            total = total + pre[..., base + k]
+            total = total + col(pre, base + k)
         target = u01 * total
         a = jnp.zeros(blk_shape, jnp.int32)
-        c = pre[..., base]
+        c = col(pre, base)
         for k in range(1, N_ACTIONS):
             a = a + (c <= target).astype(jnp.int32)
-            c = c + pre[..., base + k]
+            c = c + col(pre, base + k)
         return a
 
-    def body(i, carry):
-        rew_acc, goal_acc, trunc_acc = carry
+    def retire(pre, pend):
+        """Scatter the previous step's TD using THIS gather's v column."""
+        cp, ja, r, cont, q_cur, valid = pend
+        v_here = col(pre, COL_V) + col(pre, COL_V_LO)
+        td = r + cont * v_here - q_cur
+        oh_td = (c_iota == (ja[..., None] + ACC_TD)).astype(jnp.float32)
+        oh_ct = (c_iota == (ja[..., None] + ACC_CNT)).astype(jnp.float32)
+        X = ((oh_td * td[..., None] + oh_ct)
+             * valid[..., None]).astype(jnp.bfloat16)
+        scatter_add(cp, X)
 
-        def block(blk, inner):
-            rew_acc, goal_acc, trunc_acc = inner
-            sl = pl.ds(blk * RB, RB)
-            ra, ca = ra_ref[sl, :], ca_ref[sl, :]
-            rb, cb = rb_ref[sl, :], cb_ref[sl, :]
-            p, t = p_ref[sl, :], t_ref[sl, :]
+    def block(blk, carry0):
+        sl = pl.ds(blk * RB, RB)
+        lane = ((blk.astype(jnp.uint32) * RB + rows_iota)
+                * jnp.uint32(LANES) + cols_iota)
+        zi = jnp.zeros(blk_shape, jnp.int32)
+        zf = jnp.zeros(blk_shape, jnp.float32)
 
-            lane = ((blk.astype(jnp.uint32) * RB + rows_iota)
-                    * jnp.uint32(LANES) + cols_iota)
+        def step(i, c):
+            (ra, ca, rb, cb, p, t, pend,
+             rew_acc, goal_acc, trunc_acc) = c
             bits0 = sk._random_word(seed, i, 0, lane)
             bits1 = sk._random_word(seed, i, 1, lane)
             bits2 = sk._random_word(seed, i, 2, lane)
 
-            raw = raw_of(ra, ca, rb, cb, p)
-            pre = gather_rows(raw)
+            cp = cell_of(ra, ca, rb, cb, p)
+            pre = gather_rows(cp)
+            retire(pre, pend)
 
             inv = jnp.float32(1.0 / 65536.0)
             ua = sk._u16(bits0, 0).astype(jnp.float32) * inv
@@ -116,10 +223,6 @@ def _learner_kernel(seed_ref, m_ref, ra_ref, ca_ref, rb_ref, cb_ref,
 
             nra, nca, nrb, ncb, npz, goal, r = sk.transition_core(
                 ra, ca, rb, cb, p, aa, ab, bits1, bits2, cfg, q_int)
-            raw_next = raw_of(nra, nca, nrb, ncb, npz)
-            post = gather_rows(raw_next)
-            v_next = post[..., COL_V]
-
             nra, nca, nrb, ncb, npz, t2, trunc = sk.autoreset_core(
                 nra, nca, nrb, ncb, npz, t, goal, bits2, cfg)
 
@@ -127,38 +230,34 @@ def _learner_kernel(seed_ref, m_ref, ra_ref, ca_ref, rb_ref, cb_ref,
             q_cur = jnp.zeros(blk_shape, jnp.float32)
             for j in range(NJ):
                 q_cur = q_cur + jnp.where(
-                    ja == j, pre[..., COL_Q + j], 0.0)
-
+                    ja == j, col(pre, COL_Q + j) + col(pre, COL_Q_LO + j),
+                    0.0)
             term = goal | trunc
-            cont = jnp.where(term, 0.0, jnp.float32(gamma))
-            td = r.astype(jnp.float32) + cont * v_next - q_cur
-
-            # packed accumulation columns: [0:25] sum-TD, [32:57] counts
-            oh_td = (c_iota == (ja[..., None] + ACC_TD)).astype(jnp.float32)
-            oh_ct = (c_iota == (ja[..., None] + ACC_CNT)).astype(jnp.float32)
-            X = (oh_td * td[..., None] + oh_ct).astype(jnp.bfloat16)
-            oh_s = (s_iota == raw[..., None]).astype(jnp.bfloat16)
-            # Mosaic supports single contracting dims only: unroll the
-            # block-row axis into RB transposed matmuls [SP,128] each.
-            upd = acc_ref[:]
-            for rr in range(RB):
-                upd = upd + jax.lax.dot_general(
-                    oh_s[rr], X[rr], (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-            acc_ref[:] = upd
-
-            ra_ref[sl, :], ca_ref[sl, :] = nra, nca
-            rb_ref[sl, :], cb_ref[sl, :] = nrb, ncb
-            p_ref[sl, :], t_ref[sl, :] = npz, t2
-
-            return (rew_acc + jnp.sum(r),
+            cont = jnp.where(term, 0.0, gamma_f)
+            new_pend = (cp, ja, r.astype(jnp.float32), cont, q_cur,
+                        jnp.ones(blk_shape, jnp.float32))
+            return (nra, nca, nrb, ncb, npz, t2, new_pend,
+                    rew_acc + jnp.sum(r),
                     goal_acc + jnp.sum(goal.astype(jnp.int32)),
                     trunc_acc + jnp.sum(trunc.astype(jnp.int32)))
 
-        return jax.lax.fori_loop(0, n_blocks, block, carry)
+        init = (ra_ref[sl, :], ca_ref[sl, :], rb_ref[sl, :], cb_ref[sl, :],
+                p_ref[sl, :], t_ref[sl, :], (zi, zi, zf, zf, zf, zf),
+                *carry0)
+        (ra, ca, rb, cb, p, t, pend,
+         rew_acc, goal_acc, trunc_acc) = jax.lax.fori_loop(
+            0, n_steps, step, init)
+
+        # trailing gather retires the final step's TD
+        retire(gather_rows(cell_of(ra, ca, rb, cb, p)), pend)
+
+        ra_ref[sl, :], ca_ref[sl, :] = ra, ca
+        rb_ref[sl, :], cb_ref[sl, :] = rb, cb
+        p_ref[sl, :], t_ref[sl, :] = p, t
+        return (rew_acc, goal_acc, trunc_acc)
 
     z = jnp.int32(0)
-    rew, goals, truncs = jax.lax.fori_loop(0, n_steps, body, (z, z, z))
+    rew, goals, truncs = jax.lax.fori_loop(0, n_blocks, block, (z, z, z))
     ora[:], oca[:] = ra_ref[:], ca_ref[:]
     orb[:], ocb[:] = rb_ref[:], cb_ref[:]
     op[:], ot[:] = p_ref[:], t_ref[:]
@@ -172,24 +271,32 @@ def _learner_kernel(seed_ref, m_ref, ra_ref, ca_ref, rb_ref, cb_ref,
 def learner_chunk(cfg: EnvConfig, seed, m_packed, state_fields,
                   batch: int, n_steps: int, gamma: float = 0.99,
                   interpret: bool = False):
-    """Run one fused chunk.  ``m_packed`` [spad(cfg), 128] float32 (see
+    """Run one fused chunk.  ``m_packed`` [spc(cfg), 128] bfloat16 (see
     module docstring); ``state_fields`` = 6 int32 [batch/128, 128] arrays.
-    Returns (new_fields, acc [spad, 128], stats[3])."""
-    assert batch % (RB * LANES) == 0
+    Returns (new_fields, acc [spc, 128] f32, stats[3])."""
+    assert n_steps > 0
+    assert batch % LANES == 0, f"batch must be a multiple of {LANES}"
     shape = (batch // LANES, LANES)
-    SP = spad(cfg)
-    # M + acc are VMEM-resident [SP, 128] f32 planes; beyond ~14 MB total
-    # Mosaic cannot place them.  The generic XLA learner (agents/learners)
-    # has no such limit — it keeps tables in HBM.
-    vmem_mb = 2 * SP * LANES * 4 / 2**20
+    SP = spc(cfg)
+    # Largest block height <= the cap that divides the batch's rows.
+    cap = RB if SP <= 2 * SLAB_MAX else RB_SLABBED
+    rb = next(r for r in range(min(cap, shape[0]), 0, -1)
+              if shape[0] % r == 0)
+
+    # M (bf16) + acc (f32) are VMEM-resident [SP, 128] planes; beyond
+    # ~14 MB Mosaic cannot place them.  The generic XLA learner
+    # (agents/learners) has no such limit — it keeps tables in HBM.
+    vmem_mb = SP * LANES * (2 + 4) / 2**20
     if vmem_mb > 14:
         raise ValueError(
             f"grid too large for the fused learner kernel: packed tables "
-            f"need ~{vmem_mb:.0f} MB of VMEM (raw state space {cfg.n_raw}); "
+            f"need ~{vmem_mb:.0f} MB of VMEM (compact state space "
+            f"{cfg.width}x{cfg.height} -> {SP} codes); "
             f"use agents.learners.minimax_train (HBM tables) instead")
     q_int = int(round(cfg.slip_prob * 65536))
     kernel = functools.partial(
-        _learner_kernel, cfg=cfg, n_steps=n_steps, q_int=q_int, gamma=gamma)
+        _learner_kernel, cfg=cfg, n_steps=n_steps, q_int=q_int, gamma=gamma,
+        rb=rb)
     out_shapes = ([jax.ShapeDtypeStruct(shape, jnp.int32)] * 6 +
                   [jax.ShapeDtypeStruct((SP, LANES), jnp.float32),
                    jax.ShapeDtypeStruct((1, 4), jnp.int32)])
@@ -212,29 +319,45 @@ def learner_chunk(cfg: EnvConfig, seed, m_packed, state_fields,
 # Chunked training wrapper
 # ----------------------------------------------------------------------
 
-def _raw_rows(cfg: EnvConfig) -> np.ndarray:
-    """Raw code of each dense state (dense row -> raw row of M)."""
-    from ..core import tables
-    return tables.build_statespace(cfg).dense_to_raw
+@functools.lru_cache(maxsize=None)
+def _cell_rows(cfg: EnvConfig) -> np.ndarray:
+    """Compact cellpair code of each dense state (dense row -> M row)."""
+    from ..core import rules, tables
+    d2r = tables.build_statespace(cfg).dense_to_raw.astype(np.int64)
+    xa, ya, xb, yb, p = rules.raw_decode(np, d2r, cfg)
+    return rules.cellpair_encode(np, xa, ya, xb, yb, p, cfg).astype(np.int32)
+
+
+# Backwards-compatible alias (pre-compaction name; rows now index the
+# compact cellpair space, not raw codes).
+_raw_rows = _cell_rows
 
 
 def pack_m(cfg: EnvConfig, pi_a, pi_b, q, v, eps: float) -> jnp.ndarray:
     """Pack (exploration-mixed) policies, Q and v into the kernel's
-    raw-indexed M [spad, 128]."""
-    SP = spad(cfg)
-    rows = jnp.asarray(_raw_rows(cfg))
+    compact-indexed M [spc, 128] bfloat16.  Q and v are split double-bf16
+    (see the column-layout comment at the top of this module): the hi
+    column is the exact bf16 rounding, the lo column the residual
+    (bf16-quantized, leaving ~2^-17 combined relative error)."""
+    SP = spc(cfg)
+    rows = jnp.asarray(_cell_rows(cfg))
     explore = eps / N_ACTIONS
+    hi = lambda x: x.astype(jnp.bfloat16).astype(jnp.float32)
+    qf = q.reshape(q.shape[0], NJ)
+    q_hi, v_hi = hi(qf), hi(v)
     m = jnp.zeros((SP, LANES), jnp.float32)
     m = m.at[rows, COL_PI_A:COL_PI_A + 5].set(pi_a * (1 - eps) + explore)
     m = m.at[rows, COL_PI_B:COL_PI_B + 5].set(pi_b * (1 - eps) + explore)
-    m = m.at[rows, COL_Q:COL_Q + NJ].set(q.reshape(q.shape[0], NJ))
-    m = m.at[rows, COL_V].set(v)
-    return m
+    m = m.at[rows, COL_Q:COL_Q + NJ].set(q_hi)
+    m = m.at[rows, COL_Q_LO:COL_Q_LO + NJ].set(qf - q_hi)
+    m = m.at[rows, COL_V].set(v_hi)
+    m = m.at[rows, COL_V_LO].set(v - v_hi)
+    return m.astype(jnp.bfloat16)
 
 
 def unpack_acc(cfg: EnvConfig, acc) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """acc [spad, 128] -> dense (sum_td, cnt), each [nS, 5, 5]."""
-    rows = jnp.asarray(_raw_rows(cfg))
+    """acc [spc, 128] -> dense (sum_td, cnt), each [nS, 5, 5]."""
+    rows = jnp.asarray(_cell_rows(cfg))
     nS = rows.shape[0]
     sum_td = acc[rows, ACC_TD:ACC_TD + NJ].reshape(nS, 5, 5)
     cnt = acc[rows, ACC_CNT:ACC_CNT + NJ].reshape(nS, 5, 5)
@@ -254,6 +377,14 @@ def fused_minimax_train(cfg: EnvConfig, batch: int, n_chunks: int,
                         gamma: float = 0.99, eps: float = 0.3,
                         lr_halflife: int = 0, eps_halflife: int = 0,
                         solver_iters: int = 200, seed: int = 0,
+                        count_lr_tau: float = 0.0,
+                        count_lr_pow: float = 0.85,
+                        eps_min: float = 0.0,
+                        lr_anneal_start: int = 0,
+                        lr_anneal_tau: float = 0.0,
+                        lr_anneal_pow: float = 1.0,
+                        avg_after: int = 0,
+                        final_solver_iters: int = 0,
                         interpret: bool = False,
                         single_dispatch: bool = False,
                         init: tuple | None = None):
@@ -261,9 +392,38 @@ def fused_minimax_train(cfg: EnvConfig, batch: int, n_chunks: int,
     stats_history).  Semantics match agents/learners.minimax_train with
     resolve_every == chunk_len (chunk-stale TD baselines).
 
-    ``init``: optional (q, v, pi_a, pi_b) warm start — resume a previous
-    run or chain phases with different lr/eps schedules (annealed
-    fine-tuning measurably improves final exploitability).
+    Error model for this chunked learner (empirically verified on 5x4):
+    each chunk applies ONE count-normalized mean update per visited cell
+    against a chunk-stale V, so values propagate one Bellman backup per
+    CHUNK — final bias ~ gamma^n_chunks — while per-chunk sample noise is
+    already tiny (hundreds of visits per cell averaged).  Convergence
+    therefore wants lr ~= 1.0 (each chunk = one full empirical Bellman
+    backup; fastest contraction) followed by a polynomial tail that
+    averages the noise: ``lr_anneal_start``/``lr_anneal_tau``/
+    ``lr_anneal_pow`` give lr_k = lr * (1 + max(0, k-start)/tau)^(-pow)
+    over the CHUNK index k (tau=1, pow=1 after start is exact harmonic
+    averaging of the last chunks' backups).  ``count_lr_tau`` instead
+    decays per-CELL over lifetime visit counts (Littman's per-visit
+    alpha) — appropriate for per-step updates (agents/learners) but too
+    aggressive here, where visits per cell per chunk are O(100).
+
+    ``eps_min`` floors the exploration anneal so late training keeps
+    visiting off-equilibrium cells.  ``final_solver_iters`` re-solves all
+    state games once more at the end with a higher RM+ iteration budget
+    (the returned policies' quality is otherwise capped by the in-loop
+    ``solver_iters``).
+
+    ``avg_after`` > 0 returns TIME-AVERAGED strategies over chunks
+    >= avg_after instead of the final solve's: per-state equilibrium
+    strategies of a noisy Q oscillate around near-ties, and (as in
+    fictitious play / regret averaging) their average converges much
+    faster than the iterates.  The returned (v, q) stay the final
+    iterates; only (pi_a, pi_b) are averaged (then re-normalized).
+
+    ``init``: optional (q, v, pi_a, pi_b) or (q, v, pi_a, pi_b, n) warm
+    start — resume a previous run or chain phases with different lr/eps
+    schedules (annealed fine-tuning measurably improves final
+    exploitability).
 
     ``single_dispatch`` wraps the whole run in one jitted lax.scan —
     minimal dispatch overhead, but the long scan over pallas_call bodies
@@ -274,64 +434,101 @@ def fused_minimax_train(cfg: EnvConfig, batch: int, n_chunks: int,
     from ..core import tables
     nS = tables.build_statespace(cfg).nS
 
+    n = jnp.zeros((nS, 5, 5), jnp.float32)
     if init is None:
         q = jnp.zeros((nS, 5, 5), jnp.float32)
         v = jnp.zeros(nS, jnp.float32)
         pi_a = jnp.full((nS, 5), 0.2, jnp.float32)
         pi_b = jnp.full((nS, 5), 0.2, jnp.float32)
     else:
+        if len(init) == 5:
+            *init, n = init
+            n = jnp.asarray(n, jnp.float32)
         q, v, pi_a, pi_b = (jnp.asarray(x, jnp.float32) for x in init)
         assert q.shape == (nS, 5, 5) and v.shape == (nS,)
     fields = init_state_fields(cfg, batch)
 
     @jax.jit
-    def between(q, acc, lr_now, eps_now):
+    def between(q, n, acc, lr_now, eps_now):
         """Everything between kernel chunks in ONE jitted dispatch
         (tunneled backends pay ~0.4 s per eager op): count-normalized Q
         update, RM+ re-solve, and repacking M with traced lr/eps."""
         sum_td, cnt = unpack_acc(cfg, acc)
-        q = q + lr_now * sum_td / jnp.maximum(cnt, 1.0)
+        n = n + cnt
+        lr_cell = lr_now
+        if count_lr_tau > 0:
+            lr_cell = lr_now * (1.0 + n / count_lr_tau) ** (-count_lr_pow)
+        q = q + lr_cell * sum_td / jnp.maximum(cnt, 1.0)
         v, pa, pb = solve_matrix_games(q, iters=solver_iters)
-        return q, v, pa, pb, pack_m(cfg, pa, pb, q, v, eps_now)
+        return q, n, v, pa, pb, pack_m(cfg, pa, pb, q, v, eps_now)
 
-    def decay(base, hl, k):
-        return base * (0.5 ** (k * chunk_len / hl) if hl else 1.0)
+    def decay(base, hl, k, floor=0.0):
+        d = base * (0.5 ** (k * chunk_len / hl) if hl else 1.0)
+        return jnp.maximum(d, floor) if isinstance(k, jax.Array) \
+            else max(d, floor)
+
+    def lr_at(k):
+        d = decay(lr, lr_halflife, k)
+        if lr_anneal_tau > 0:
+            over = jnp.maximum(k - lr_anneal_start, 0.0) \
+                if isinstance(k, jax.Array) else max(k - lr_anneal_start, 0)
+            d = d * (1.0 + over / lr_anneal_tau) ** (-lr_anneal_pow)
+        return d
 
     m0 = pack_m(cfg, pi_a, pi_b, q, v, eps)
 
     if single_dispatch:
         @jax.jit
-        def whole_run(fields, q, v, pi_a, pi_b, m):
+        def whole_run(fields, q, n, v, pi_a, pi_b, m):
             def chunk_body(carry, k):
-                fields, q, v, pa, pb, m = carry
+                fields, q, n, v, pa, pb, m = carry
                 fields, acc, stats = learner_chunk(
                     cfg, seed * 1_000_003 + k, m, fields, batch, chunk_len,
                     gamma=gamma, interpret=interpret)
                 kf = k.astype(jnp.float32)
-                q, v, pa, pb, m = between(q, acc,
-                                          decay(lr, lr_halflife, kf),
-                                          decay(eps, eps_halflife, kf))
-                return (fields, q, v, pa, pb, m), jnp.stack(
+                q, n, v, pa, pb, m = between(
+                    q, n, acc, lr_at(kf),
+                    decay(eps, eps_halflife, kf, eps_min))
+                return (fields, q, n, v, pa, pb, m), jnp.stack(
                     [s.astype(jnp.int32) for s in stats])
 
-            (fields, q, v, pa, pb, m), stats = jax.lax.scan(
-                chunk_body, (fields, q, v, pi_a, pi_b, m),
+            (fields, q, n, v, pa, pb, m), stats = jax.lax.scan(
+                chunk_body, (fields, q, n, v, pi_a, pi_b, m),
                 jnp.arange(n_chunks))
-            return q, v, pa, pb, stats
+            return q, n, v, pa, pb, stats
 
-        q, v, pi_a, pi_b, stats = whole_run(fields, q, v, pi_a, pi_b, m0)
+        q, n, v, pi_a, pi_b, stats = whole_run(fields, q, n, v, pi_a,
+                                               pi_b, m0)
         history = [tuple(int(x) for x in row) for row in np.asarray(stats)]
-        return q, v, pi_a, pi_b, history
+    else:
+        m = m0
+        history = []
+        pa_sum = pb_sum = None
 
-    m = m0
-    history = []
-    for k in range(n_chunks):
-        fields, acc, stats = learner_chunk(
-            cfg, seed * 1_000_003 + k, m, fields, batch, chunk_len,
-            gamma=gamma, interpret=interpret)
-        q, v, pi_a, pi_b, m = between(
-            q, acc, jnp.float32(decay(lr, lr_halflife, k)),
-            jnp.float32(decay(eps, eps_halflife, k)))
-        if k % 16 == 0 or k == n_chunks - 1:
-            history.append(tuple(int(x) for x in stats))
+        @jax.jit
+        def accum(s, x):
+            return x if s is None else s + x
+
+        for k in range(n_chunks):
+            fields, acc, stats = learner_chunk(
+                cfg, seed * 1_000_003 + k, m, fields, batch, chunk_len,
+                gamma=gamma, interpret=interpret)
+            q, n, v, pi_a, pi_b, m = between(
+                q, n, acc, jnp.float32(lr_at(k)),
+                jnp.float32(decay(eps, eps_halflife, k, eps_min)))
+            if avg_after and k >= avg_after:
+                pa_sum = pi_a if pa_sum is None else accum(pa_sum, pi_a)
+                pb_sum = pi_b if pb_sum is None else accum(pb_sum, pi_b)
+            if k % 16 == 0 or k == n_chunks - 1:
+                # keep device scalars — a host int() here would drain the
+                # whole async dispatch pipeline every 16 chunks (the relay
+                # makes that the dominant wall-clock cost)
+                history.append(stats)
+        if avg_after and pa_sum is not None:
+            norm = jax.jit(lambda s: s / s.sum(-1, keepdims=True))
+            pi_a, pi_b = norm(pa_sum), norm(pb_sum)
+        history = [tuple(int(np.asarray(x)) for x in row) for row in history]
+    if final_solver_iters and not (avg_after and not single_dispatch):
+        v, pi_a, pi_b = jax.jit(
+            lambda q: solve_matrix_games(q, iters=final_solver_iters))(q)
     return q, v, pi_a, pi_b, history

@@ -122,7 +122,7 @@ def sharded_minimax_train_fn(cfg: EnvConfig, lcfg, mesh: Mesh, n_steps: int,
     from ..agents import learners
 
     specs = learners.MinimaxQState(q=P(), v=P(), pi_a=P(), pi_b=P(),
-                                   env=_env_specs(axis), step=P())
+                                   env=_env_specs(axis), step=P(), n=P())
 
     def local(state):
         st, td = learners.minimax_train(cfg, lcfg, state, n_steps,

@@ -16,6 +16,9 @@ os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# GST_TEST_TPU=1 keeps the real backend for the TPU-gated slow tests
+# (e.g. the minimax-Q equilibrium-convergence run in test_learner_kernel).
+if not os.environ.get("GST_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

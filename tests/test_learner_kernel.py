@@ -17,11 +17,24 @@ def test_pack_unpack_roundtrip():
     q = jnp.asarray(rng.uniform(-1, 1, (nS, 5, 5)).astype(np.float32))
     v = jnp.asarray(rng.uniform(-1, 1, nS).astype(np.float32))
     pa = jnp.full((nS, 5), 0.2, jnp.float32)
-    m = lk.pack_m(CFG, pa, pa, q, v, eps=0.0)
-    rows = lk._raw_rows(CFG)
-    got_q = np.asarray(m)[rows, lk.COL_Q:lk.COL_Q + 25].reshape(nS, 5, 5)
-    assert np.array_equal(got_q, np.asarray(q))
-    assert np.array_equal(np.asarray(m)[rows, lk.COL_V], np.asarray(v))
+    m = np.asarray(lk.pack_m(CFG, pa, pa, q, v, eps=0.0),
+                   dtype=np.float32)
+    rows = lk._cell_rows(CFG)
+    # Q/v are stored double-bf16 (hi = exact bf16 rounding + bf16
+    # residual): recombining recovers the f32 value to ~2^-17 relative.
+    got_q = (m[rows, lk.COL_Q:lk.COL_Q + 25]
+             + m[rows, lk.COL_Q_LO:lk.COL_Q_LO + 25]).reshape(nS, 5, 5)
+    assert np.allclose(got_q, np.asarray(q), atol=2e-5, rtol=2e-5)
+    # far tighter than single bf16 (~2^-9 ~= 4e-3 on [-1, 1] values)
+    assert np.abs(got_q - np.asarray(q)).max() < 1e-4
+    got_v = m[rows, lk.COL_V] + m[rows, lk.COL_V_LO]
+    assert np.allclose(got_v, np.asarray(v), atol=2e-5, rtol=2e-5)
+    hi_q = m[rows, lk.COL_Q:lk.COL_Q + 25]
+    assert np.array_equal(hi_q, np.asarray(q).reshape(nS, 25).astype(
+        jnp.bfloat16).astype(np.float32))
+    # compact rows are unique and in range
+    assert len(np.unique(rows)) == nS
+    assert rows.min() >= 0 and rows.max() < lk.spc(CFG)
 
 
 def test_chunk_accumulates_visits_and_valid_tds():
@@ -66,6 +79,47 @@ def test_fused_learner_vmem_guard():
     with pytest.raises(ValueError, match="fused learner"):
         lk.learner_chunk(big, 0, None, None, batch=1024, n_steps=1,
                          interpret=True)
+
+
+@pytest.mark.slow
+def test_convergence_recipe_trains_toward_equilibrium():
+    """The 2-phase schedule (lr=1.0 empirical-Bellman-backup phase, then
+    polynomial anneal + high-iteration final solve) must drive
+    exploitability far below the uniform-play baseline — the CPU
+    (interpret-mode) smoke of the verified TPU recipe.  The full-scale
+    contract (exploitability <= 0.010 at gamma=0.99 vs the exact solver's
+    ~0.002 floor; measured 0.004 at 2.1B steps, see BASELINE.md) runs in
+    test_equilibrium_convergence_tpu on real hardware."""
+    from gym_soccer_tpu.agents.evaluation import exploitability
+    gamma = 0.9  # short horizon so interpret-mode step counts suffice
+    q, v, pa, pb, _ = lk.fused_minimax_train(
+        CFG, batch=4096, n_chunks=120, chunk_len=8, lr=1.0, eps=0.25,
+        gamma=gamma, lr_anneal_start=60, lr_anneal_tau=10.0,
+        lr_anneal_pow=1.5, solver_iters=200, final_solver_iters=1500,
+        seed=5, interpret=True)
+    uniform = jnp.full((761, 5), 0.2, jnp.float32)
+    ex_uniform = float(exploitability(CFG, uniform, uniform, gamma=gamma))
+    ex_trained = float(exploitability(CFG, pa, pb, gamma=gamma))
+    assert ex_trained < ex_uniform / 4, (ex_trained, ex_uniform)
+    assert ex_trained < 0.25, ex_trained
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    jax.default_backend() in ("cpu",),
+    reason="needs the real TPU (run: GST_TEST_TPU=1 python -m pytest "
+           "tests/test_learner_kernel.py -k equilibrium -m slow)")
+def test_equilibrium_convergence_tpu():
+    """VERDICT round-1 contract: a fused run reaching exploitability
+    <= 0.010 at gamma=0.99 (exact-solver floor ~0.002).  ~2.5 min on one
+    v5e chip (2.1B env-steps + exact best-response evaluation)."""
+    from gym_soccer_tpu.agents.evaluation import exploitability
+    q, v, pa, pb, _ = lk.fused_minimax_train(
+        CFG, batch=65536, n_chunks=1000, chunk_len=32, lr=1.0, eps=0.2,
+        lr_anneal_start=500, lr_anneal_tau=25.0, lr_anneal_pow=1.5,
+        solver_iters=400, final_solver_iters=3000, seed=1)
+    ex = float(exploitability(CFG, pa, pb))
+    assert ex <= 0.010, ex
 
 
 def test_fused_training_warm_start():

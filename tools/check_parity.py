@@ -111,6 +111,51 @@ def random_policy(n_states, n_actions, seed):
     return {s: int(rng.randint(0, n_actions)) for s in range(n_states)}
 
 
+def compare_policy_eval(name):
+    """Closed-loop device rollout vs the reference main()-style eval
+    fixture: per-step stream digest + episode rewards/lengths."""
+    import jax
+    import jax.numpy as jnp
+    from gym_soccer_tpu.config import EnvConfig
+    from gym_soccer_tpu.core import parity  # noqa: F811
+
+    fx = GOLD[name]
+    cfg = EnvConfig(width=5, height=4, slip_prob=0.2)
+    if "policy_b" in fx:  # joint multiagent fixture
+        pt = parity.parity_tables(cfg)
+        rows = parity.policy_rows(
+            pt, np.asarray(fx["policy_a"], np.int32),
+            np.asarray(fx["policy_b"], np.int32))
+    else:  # VI policy vs frozen random B
+        pol_b = np.asarray([random_policy(761, 5, 0)[s]
+                            for s in range(761)], np.int32)
+        pt = parity.parity_tables(cfg, "player_b", pol_b)
+        rows = parity.policy_rows(pt, policy_a=np.asarray(fx["policy"],
+                                                          np.int32))
+    T = fx["total_steps"]
+    hi, lo = parity.gen_streams([fx["reset_seed"]], 2 * T + 2)
+    st = parity.parity_init(cfg, 1)
+    _, out = jax.jit(lambda s: parity.parity_policy_rollout(
+        cfg, pt, s, jnp.asarray(rows), T, jnp.asarray(hi),
+        jnp.asarray(lo)))(st)
+    obs = np.asarray(out.obs)[:, 0]
+    rew = np.asarray(out.reward_a)[:, 0]
+    done = np.asarray(out.done)[:, 0]
+    trunc = np.asarray(out.truncated)[:, 0]
+    h = hashlib.sha256()
+    for t in range(T):
+        h.update(int(obs[t]).to_bytes(4, "little"))
+        h.update(np.float32(rew[t]).tobytes())
+        h.update(b"\x01" if done[t] else b"\x00")
+        h.update(b"\x01" if trunc[t] else b"\x00")
+    check(f"{name}.step_stream_digest({T} steps, "
+          f"{fx['n_episodes']} episodes)",
+          h.hexdigest() == fx["step_stream_digest"])
+    ends = np.flatnonzero(done | trunc)
+    lengths = np.diff(np.concatenate([[-1], ends])).tolist()
+    check(f"{name}.episode_lengths", lengths == fx["episode_lengths"])
+
+
 def main():
     both = ["player_a", "player_b"]
     env = SoccerSimultaneousEnv(width=5, height=4, slip_prob=0.2)
@@ -135,6 +180,9 @@ def main():
                                 player_a_policy=random_policy(761, 5, 1))
     compare_tables("tables_5x4_slip02_singleB", env)
     compare_traj("traj_5x4_slip02_singleB_seed21", env, ["player_b"])
+
+    compare_policy_eval("policy_eval_5x4_slip02_vi_vs_randomB")
+    compare_policy_eval("policy_eval_5x4_slip02_joint")
 
     print("FAILURES:", FAIL)
     sys.exit(1 if FAIL else 0)

@@ -69,6 +69,7 @@ def run_training(tag: str):
         pi_a=jax.device_put(jnp.full((nS, 5), 0.2, jnp.float32), rep),
         pi_b=jax.device_put(jnp.full((nS, 5), 0.2, jnp.float32), rep),
         env=env, step=jax.device_put(jnp.int32(0), rep),
+        n=jax.device_put(jnp.zeros((nS, 5, 5), jnp.float32), rep),
     )
     train = pmesh.sharded_minimax_train_fn(cfg, lcfg, m, n_steps=TRAIN_STEPS)
     state, td = jax.block_until_ready(train(state))

@@ -107,6 +107,43 @@ def run_trajectory(env, seed, action_script, agents):
     return rec
 
 
+def run_policy_eval_joint(env, policy_a, policy_b, reset_seed, n_episodes):
+    """Closed-loop eval on a MULTIAGENT env: both players play their
+    deterministic policies off the shared observation."""
+    h = hashlib.sha256()
+    rewards, lengths = [], []
+    seed = reset_seed
+    for _ in range(n_episodes):
+        obs, _ = env.reset(seed=seed)
+        seed = None
+        total, steps, all_done = np.float64(0.0), 0, False
+        while not all_done:
+            act = {"player_a": int(policy_a[obs["player_a"]]),
+                   "player_b": int(policy_b[obs["player_b"]])}
+            obs, rs, ds, ts, _ = env.step(act)
+            total += rs["player_a"]
+            steps += 1
+            all_done = any(ds.values()) or any(ts.values())
+            h.update(int(obs["player_a"]).to_bytes(4, "little"))
+            h.update(np.float32(rs["player_a"]).tobytes())
+            h.update(b"\x01" if ds["player_a"] else b"\x00")
+            h.update(b"\x01" if ts["player_a"] else b"\x00")
+        rewards.append(total)
+        lengths.append(steps)
+    return {
+        "reset_seed": reset_seed,
+        "n_episodes": n_episodes,
+        "policy_a": [int(policy_a[s]) for s in range(env.nS)],
+        "policy_b": [int(policy_b[s]) for s in range(env.nS)],
+        "episode_rewards": [f64_hex(r) for r in rewards],
+        "episode_lengths": lengths,
+        "total_steps": int(sum(lengths)),
+        "step_stream_digest": h.hexdigest(),
+        "avg_reward": float(np.mean(rewards)),
+        "avg_steps": float(np.mean(lengths)),
+    }
+
+
 def multiagent_script(n, seed):
     rng = np.random.RandomState(seed)
     return [{"player_a": rng.randint(0, 5), "player_b": rng.randint(0, 5)} for _ in range(n)]
@@ -120,6 +157,45 @@ def single_script(agent, n, seed):
 def random_policy(n_states, n_actions, seed):
     rng = np.random.RandomState(seed)
     return {s: int(rng.randint(0, n_actions)) for s in range(n_states)}
+
+
+def run_policy_eval(env, policy, reset_seed, n_episodes, agent="player_a"):
+    """The reference main()'s closed-loop eval (:569-613): play
+    ``policy[obs]`` for ``n_episodes`` episodes on ONE env whose MT19937
+    stream continues across resets.  Records per-episode rewards/lengths
+    and a digest over the full per-step (obs, reward-f32-bits, done,
+    trunc) stream — the bit-level ground truth for the device parity
+    engine's closed-loop mode (core/parity.parity_policy_rollout)."""
+    h = hashlib.sha256()
+    rewards, lengths = [], []
+    seed = reset_seed
+    for _ in range(n_episodes):
+        obs, _ = env.reset(seed=seed)
+        seed = None  # later resets continue the stream (reference :578)
+        total, steps, all_done = np.float64(0.0), 0, False
+        while not all_done:
+            a = int(policy[obs[agent]])
+            obs, rs, ds, ts, _ = env.step({agent: a})
+            total += rs[agent]
+            steps += 1
+            all_done = any(ds.values()) or any(ts.values())
+            h.update(int(obs[agent]).to_bytes(4, "little"))
+            h.update(np.float32(rs[agent]).tobytes())
+            h.update(b"\x01" if ds[agent] else b"\x00")
+            h.update(b"\x01" if ts[agent] else b"\x00")
+        rewards.append(total)
+        lengths.append(steps)
+    return {
+        "reset_seed": reset_seed,
+        "n_episodes": n_episodes,
+        "policy": [int(policy[s]) for s in range(env.nS)],
+        "episode_rewards": [f64_hex(r) for r in rewards],
+        "episode_lengths": lengths,
+        "total_steps": int(sum(lengths)),
+        "step_stream_digest": h.hexdigest(),
+        "avg_reward": float(np.mean(rewards)),
+        "avg_steps": float(np.mean(lengths)),
+    }
 
 
 def main():
@@ -172,6 +248,24 @@ def main():
     out["tables_5x4_slip02_singleB"] = digest_tables(env)
     out["traj_5x4_slip02_singleB_seed21"] = run_trajectory(
         env, 21, single_script("player_b", 300, seed=19), ["player_b"])
+
+    # --- closed-loop policy eval (reference main(), :569-613): VI best
+    # response vs the frozen random B, 1000 episodes on one continuing
+    # stream ---
+    from gym_soccer.utils.planners import value_iteration
+    pol_b = random_policy(761, 5, seed=0)
+    env = SoccerSimultaneousEnv(width=5, height=4, slip_prob=0.2,
+                                player_b_policy=pol_b)
+    vi_pi, _, _, _ = value_iteration(env, theta=1e-10, discount_factor=0.99)
+    out["policy_eval_5x4_slip02_vi_vs_randomB"] = run_policy_eval(
+        env, vi_pi, reset_seed=101, n_episodes=1000)
+    # and a smaller joint-policy (multiagent) closed loop: VI's A policy
+    # against a deterministic B policy, both driven from the same obs
+    pol_b_det = random_policy(761, 5, seed=4)
+    env = SoccerSimultaneousEnv(width=5, height=4, slip_prob=0.2)
+    rec = run_policy_eval_joint(env, vi_pi, pol_b_det, reset_seed=55,
+                                n_episodes=200)
+    out["policy_eval_5x4_slip02_joint"] = rec
 
     # --- MT19937 stream fixture: first uniforms for a few seeds ---
     streams = {}
