@@ -1,0 +1,30 @@
+"""Smoke test for the scaling-efficiency bench harness (tools/bench_scaling).
+
+The harness answers BASELINE.json's ">=0.8 linear efficiency at N>=2
+hosts" north star.  Real multi-chip hardware is unavailable here, so this
+validates that the sweep runs end-to-end on the virtual 8-device CPU mesh
+(the same sharded code paths a real slice would use) and emits
+well-formed throughput + efficiency rows; the proxy numbers themselves
+are not gated (all virtual devices share 2 vCPUs).
+"""
+import jax
+import pytest
+
+from tools.bench_scaling import sweep
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs >=2 devices")
+def test_scaling_sweep_smoke():
+    rows = sweep([1, 2], envs_per_device=64, n_steps=10, reps=1)
+
+    assert {r["path"] for r in rows} == {"rollout", "minimax_train"}
+    assert {r["n_devices"] for r in rows} == {1, 2}
+    for r in rows:
+        assert r["steps_per_s"] > 0
+        assert r["n_envs"] == 64 * r["n_devices"]
+    effs = [r["efficiency_vs_linear"] for r in rows]
+    assert len(effs) == len(rows)  # every row got an efficiency
+    assert all(e > 0 for e in effs)
+    # 1-device rows define the linear baseline
+    assert all(r["efficiency_vs_linear"] == 1.0 for r in rows
+               if r["n_devices"] == 1)

@@ -1,0 +1,180 @@
+"""Scaling-efficiency bench: throughput vs device count over the env mesh.
+
+BASELINE.json's north star is ">=0.8 linear scaling efficiency at N>=2
+hosts".  Real multi-chip hardware is not reachable from this environment
+(one tunneled chip), so by default this harness runs on a VIRTUAL device
+mesh — the CPU backend split into N devices via
+``--xla_force_host_platform_device_count`` — which exercises the exact
+production code paths (jax.sharding.Mesh layout, shard_map, psum/pmean
+collectives, replicated Q-tables) and therefore validates the *harness*;
+the resulting efficiency numbers are a PROXY (all virtual devices share
+this box's 2 bursty vCPUs, so super/sub-linear artifacts are expected and
+labeled).  On a real slice, run with ``--real`` — nothing else changes.
+
+Weak scaling: the per-device env count is fixed and the batch grows with
+the mesh (the deployment-relevant regime for embarrassingly-parallel env
+shards + all-reduced learners).  Efficiency(N) = thr(N) / (N * thr(1)).
+
+Outputs one JSON line per (path, n_devices) plus a summary line; exit code
+0 always (measurement tool, not a gate).
+
+Run: python tools/bench_scaling.py [--real] [--quick]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _parse_args(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--real", action="store_true",
+                    help="use the real backend's devices (TPU slice) "
+                         "instead of the virtual CPU mesh")
+    ap.add_argument("--devices", type=int, nargs="*", default=None,
+                    help="device counts to sweep (default 1 2 4 8, "
+                         "clipped to what's available)")
+    ap.add_argument("--envs-per-device", type=int, default=2048)
+    ap.add_argument("--steps", type=int, default=None,
+                    help="rollout/train chunk length per timed call")
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--json-out", type=str, default=None,
+                    help="also write the summary JSON to this path")
+    return ap.parse_args(argv)
+
+
+def _force_virtual_mesh(n_devices: int) -> None:
+    """Must run before jax's backend initializes (sitecustomize registers
+    the axon plugin through jax.config, which overrides JAX_PLATFORMS —
+    see tests/conftest.py)."""
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={n_devices}"
+        ).strip()
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+
+def _timed(fn, n=3):
+    fn()  # warmup / compile
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return sorted(ts)[n // 2]
+
+
+def sweep(device_counts, envs_per_device=2048, n_steps=200, reps=3):
+    """Measure sharded rollout + sharded minimax-Q training throughput for
+    each device count.  Returns a list of row dicts (shared by the CLI and
+    the CI smoke test)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gym_soccer_tpu.agents import learners
+    from gym_soccer_tpu.config import EnvConfig
+    from gym_soccer_tpu.core import batch
+    from gym_soccer_tpu.parallel import mesh as pmesh
+
+    cfg = EnvConfig(5, 4, 0.2)
+    lcfg = learners.MinimaxQConfig(resolve_every=64)
+    nS = batch.tables.build_statespace(cfg).nS
+    rows = []
+
+    for n in device_counts:
+        B = envs_per_device * n
+        m = pmesh.env_mesh(n)
+        rep = pmesh.replicated(m)
+
+        # --- sharded random rollout (collective-free stepping) ---
+        pol = batch.random_policy_fn(cfg, jax.random.key(1), B)
+        st = pmesh.sharded_init(cfg, m, jax.random.key(0), B)
+        roll = pmesh.sharded_rollout_fn(cfg, m, pol, n_steps)
+
+        def run_roll():
+            nonlocal st
+            st, (r, d, t) = roll(st)
+            np.asarray(r)  # real host fetch (see CLAUDE.md on fake-ready)
+
+        dt = _timed(run_roll, reps)
+        rows.append({"path": "rollout", "n_devices": n, "n_envs": B,
+                     "steps_per_s": B * n_steps / dt})
+
+        # --- sharded fused minimax-Q training (replicated Q, psum'd TDs) ---
+        uniform = jnp.full((nS, 5), 0.2, jnp.float32)
+        lstate = learners.MinimaxQState(
+            q=jax.device_put(jnp.zeros((nS, 5, 5), jnp.float32), rep),
+            v=jax.device_put(jnp.zeros(nS, jnp.float32), rep),
+            pi_a=jax.device_put(uniform, rep),
+            pi_b=jax.device_put(uniform, rep),
+            env=pmesh.sharded_init(cfg, m, jax.random.key(2), B),
+            step=jax.device_put(jnp.int32(0), rep),
+            n=jax.device_put(jnp.zeros((nS, 5, 5), jnp.float32), rep))
+        train = pmesh.sharded_minimax_train_fn(cfg, lcfg, m, n_steps)
+
+        def run_train():
+            nonlocal lstate
+            lstate, td = train(lstate)
+            np.asarray(td)
+
+        dt = _timed(run_train, reps)
+        rows.append({"path": "minimax_train", "n_devices": n, "n_envs": B,
+                     "steps_per_s": B * n_steps / dt})
+
+    # efficiency vs linear extrapolation of the 1-device number
+    base = {r["path"]: r["steps_per_s"] for r in rows if r["n_devices"] == 1}
+    for r in rows:
+        b = base.get(r["path"])
+        if b:
+            r["efficiency_vs_linear"] = r["steps_per_s"] / (r["n_devices"] * b)
+    return rows
+
+
+def main(argv=None) -> int:
+    args = _parse_args(argv)
+    counts = args.devices or [1, 2, 4, 8]
+    if not args.real:
+        _force_virtual_mesh(max(counts))
+    import jax
+
+    avail = len(jax.devices())
+    counts = [n for n in counts if n <= avail]
+    backend = jax.devices()[0].platform
+    proxy = backend != "tpu"
+    n_steps = args.steps or (50 if args.quick else 200)
+
+    rows = sweep(counts, args.envs_per_device, n_steps,
+                 reps=2 if args.quick else 3)
+    for r in rows:
+        r.update(backend=backend, proxy_virtual_mesh=proxy)
+        print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
+                          for k, v in r.items()}))
+
+    summary = {
+        "metric": "scaling_efficiency",
+        "backend": backend,
+        "proxy_virtual_mesh": proxy,
+        "device_counts": counts,
+        "envs_per_device": args.envs_per_device,
+        "min_efficiency": round(min(
+            (r["efficiency_vs_linear"] for r in rows
+             if r["n_devices"] > 1), default=1.0), 4),
+        "rows": rows,
+    }
+    print(json.dumps(summary))
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(summary, f, indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
