@@ -28,7 +28,53 @@ import jax
 import jax.numpy as jnp
 
 from ..config import EnvConfig, N_ACTIONS
-from ..core import batch, tables
+from ..core import batch, multigrid, tables
+
+
+# ----------------------------------------------------------------------
+# Engine adapters: the learner math is identical over the single-geometry
+# batch engine (core/batch) and the mixed-geometry engine (core/multigrid
+# + its per-variant dense codec); only obs/uniforms/step wiring differs.
+# ----------------------------------------------------------------------
+
+class _Engine(NamedTuple):
+    observe: object    # env -> int32 [B] learner state index
+    uniforms: object   # (env, count, salt) -> [B, count] uniforms
+    step: object       # (env, aa, ab) -> (env2, reward_a, done, trunc,
+    #                                      final_obs)  [final_obs pre-reset]
+    nS: int
+
+
+def _batch_engine(cfg: EnvConfig) -> _Engine:
+    def estep(env, aa, ab):
+        env2, out = batch.step(cfg, env, aa, ab)
+        return env2, out.reward_a, out.done, out.truncated, out.final_obs
+
+    return _Engine(
+        observe=lambda env: batch.observe(cfg, env),
+        uniforms=lambda env, count, salt: batch.per_env_uniforms(
+            env, count, salt=salt),
+        step=estep,
+        nS=tables.build_statespace(cfg).nS)
+
+
+def _multigrid_engine(codec: multigrid.MultiGridCodec) -> _Engine:
+    """Mixed-geometry engine: learner tables are concatenated over variants
+    (index = codec.offsets[vid] + per-variant dense obs), so one Q-table /
+    policy array covers the whole mixture and scatter updates land in each
+    variant's own block."""
+    def estep(env, aa, ab):
+        mid, (r, goal, trunc) = multigrid.step(env, aa, ab, autoreset=False)
+        final_obs = multigrid.global_obs(codec, mid)
+        env2 = multigrid.reset_where(mid, goal | trunc)
+        return env2, r, goal, trunc, final_obs
+
+    return _Engine(
+        observe=lambda env: multigrid.global_obs(codec, env),
+        uniforms=lambda env, count, salt: multigrid.uniforms(
+            env, count, salt=salt),
+        step=estep,
+        nS=codec.nS_total)
 
 
 # ----------------------------------------------------------------------
@@ -113,20 +159,12 @@ def _eps_greedy(q_row: jax.Array, u_explore: jax.Array,
     return jnp.where(u_explore < eps, rand, greedy)
 
 
-def iql_step(cfg: EnvConfig, lcfg: IQLConfig, state: IQLState,
-             psum_axis: Optional[str] = None,
-             frozen_a=None, frozen_b=None) -> tuple[IQLState, jax.Array]:
-    """One fused act/step/update for the whole batch.  Returns mean |TD|.
-
-    Action exploration draws from the env instances' own salted key streams
-    (batch.per_env_uniforms) — placement-invariant and shard-safe.
-
-    ``frozen_a``/``frozen_b``: optional int policy array [nS] fixing that
-    player's behavior (the batched analogue of the reference's frozen-
-    opponent single-agent mode, soccer_simultaneous_env.py:187-188); the
-    frozen side's Q-table is left untouched."""
-    obs = batch.observe(cfg, state.env)
-    u = batch.per_env_uniforms(state.env, 4, salt=1).T
+def _iql_step_engine(eng: _Engine, lcfg: IQLConfig, state: IQLState,
+                     psum_axis: Optional[str] = None,
+                     frozen_a=None, frozen_b=None
+                     ) -> tuple[IQLState, jax.Array]:
+    obs = eng.observe(state.env)
+    u = eng.uniforms(state.env, 4, 1).T
     if frozen_a is not None:
         aa = jnp.asarray(frozen_a)[obs]
     else:
@@ -136,13 +174,13 @@ def iql_step(cfg: EnvConfig, lcfg: IQLConfig, state: IQLState,
     else:
         ab = _eps_greedy(state.q_b[obs], u[2], u[3], lcfg.eps)
 
-    env2, out = batch.step(cfg, state.env, aa, ab)
-    term = out.done | out.truncated
+    env2, reward_a, done, truncated, final_obs = eng.step(state.env, aa, ab)
+    term = done | truncated
     cont = jnp.where(term, 0.0, 1.0)
 
     # TD targets; B sees the negated reward (zero-sum, reference :400-402)
-    tgt_a = out.reward_a + lcfg.gamma * cont * state.q_a[out.final_obs].max(-1)
-    tgt_b = -out.reward_a + lcfg.gamma * cont * state.q_b[out.final_obs].max(-1)
+    tgt_a = reward_a + lcfg.gamma * cont * state.q_a[final_obs].max(-1)
+    tgt_b = -reward_a + lcfg.gamma * cont * state.q_b[final_obs].max(-1)
     td_a = tgt_a - state.q_a[obs, aa]
     td_b = tgt_b - state.q_b[obs, ab]
 
@@ -173,12 +211,54 @@ def iql_step(cfg: EnvConfig, lcfg: IQLConfig, state: IQLState,
     return new, (jnp.abs(td_a).mean() + jnp.abs(td_b).mean()) * 0.5
 
 
+def iql_step(cfg: EnvConfig, lcfg: IQLConfig, state: IQLState,
+             psum_axis: Optional[str] = None,
+             frozen_a=None, frozen_b=None) -> tuple[IQLState, jax.Array]:
+    """One fused act/step/update for the whole batch.  Returns mean |TD|.
+
+    Action exploration draws from the env instances' own salted key streams
+    (batch.per_env_uniforms) — placement-invariant and shard-safe.
+
+    ``frozen_a``/``frozen_b``: optional int policy array [nS] fixing that
+    player's behavior (the batched analogue of the reference's frozen-
+    opponent single-agent mode, soccer_simultaneous_env.py:187-188); the
+    frozen side's Q-table is left untouched."""
+    return _iql_step_engine(_batch_engine(cfg), lcfg, state, psum_axis,
+                            frozen_a, frozen_b)
+
+
 def iql_train(cfg: EnvConfig, lcfg: IQLConfig, state: IQLState,
               n_steps: int, psum_axis: Optional[str] = None,
               frozen_a=None, frozen_b=None) -> tuple[IQLState, jax.Array]:
     """`lax.scan` over fused learner steps (jit this)."""
     def body(carry, _):
         return iql_step(cfg, lcfg, carry, psum_axis, frozen_a, frozen_b)
+
+    return jax.lax.scan(body, state, None, length=n_steps)
+
+
+def multigrid_iql_init(cfgs, key: jax.Array, n_envs: int) -> IQLState:
+    """IQL over a MIXED-geometry batch: one concatenated Q-table pair
+    covering every variant's state space (see _multigrid_engine)."""
+    codec = multigrid.build_codec(tuple(cfgs))
+    return IQLState(
+        q_a=jnp.zeros((codec.nS_total, N_ACTIONS), jnp.float32),
+        q_b=jnp.zeros((codec.nS_total, N_ACTIONS), jnp.float32),
+        env=multigrid.init(list(cfgs), key, n_envs),
+        step=jnp.int32(0),
+    )
+
+
+def multigrid_iql_train(cfgs, lcfg: IQLConfig, state: IQLState,
+                        n_steps: int, psum_axis: Optional[str] = None,
+                        frozen_a=None, frozen_b=None
+                        ) -> tuple[IQLState, jax.Array]:
+    """Fused IQL training over a mixed-geometry batch (jit this)."""
+    eng = _multigrid_engine(multigrid.build_codec(tuple(cfgs)))
+
+    def body(carry, _):
+        return _iql_step_engine(eng, lcfg, carry, psum_axis,
+                                frozen_a, frozen_b)
 
     return jax.lax.scan(body, state, None, length=n_steps)
 
@@ -235,11 +315,12 @@ def _sample_mixed(pi_rows: jax.Array, u: jax.Array) -> jax.Array:
                        N_ACTIONS - 1).astype(jnp.int32)
 
 
-def minimax_step(cfg: EnvConfig, lcfg: MinimaxQConfig, state: MinimaxQState,
-                 psum_axis: Optional[str] = None
-                 ) -> tuple[MinimaxQState, jax.Array]:
-    obs = batch.observe(cfg, state.env)
-    u = batch.per_env_uniforms(state.env, 2, salt=1).T
+def _minimax_step_engine(eng: _Engine, lcfg: MinimaxQConfig,
+                         state: MinimaxQState,
+                         psum_axis: Optional[str] = None
+                         ) -> tuple[MinimaxQState, jax.Array]:
+    obs = eng.observe(state.env)
+    u = eng.uniforms(state.env, 2, 1).T
     nA = N_ACTIONS
     fstep = state.step.astype(jnp.float32)
     decay = lambda hl: jnp.where(hl > 0, 0.5 ** (fstep / jnp.maximum(hl, 1)),
@@ -252,10 +333,10 @@ def minimax_step(cfg: EnvConfig, lcfg: MinimaxQConfig, state: MinimaxQState,
     aa = _sample_mixed(pa, u[0])
     ab = _sample_mixed(pb, u[1])
 
-    env2, out = batch.step(cfg, state.env, aa, ab)
-    term = out.done | out.truncated
+    env2, reward_a, done, truncated, final_obs = eng.step(state.env, aa, ab)
+    term = done | truncated
     cont = jnp.where(term, 0.0, 1.0)
-    tgt = out.reward_a + lcfg.gamma * cont * state.v[out.final_obs]
+    tgt = reward_a + lcfg.gamma * cont * state.v[final_obs]
     td = tgt - state.q[obs, aa, ab]
 
     # Count-normalized update (see iql_step): mean TD per visited cell.
@@ -283,11 +364,48 @@ def minimax_step(cfg: EnvConfig, lcfg: MinimaxQConfig, state: MinimaxQState,
     return new, jnp.abs(td).mean()
 
 
+def minimax_step(cfg: EnvConfig, lcfg: MinimaxQConfig, state: MinimaxQState,
+                 psum_axis: Optional[str] = None
+                 ) -> tuple[MinimaxQState, jax.Array]:
+    return _minimax_step_engine(_batch_engine(cfg), lcfg, state, psum_axis)
+
+
 def minimax_train(cfg: EnvConfig, lcfg: MinimaxQConfig,
                   state: MinimaxQState, n_steps: int,
                   psum_axis: Optional[str] = None
                   ) -> tuple[MinimaxQState, jax.Array]:
     def body(carry, _):
         return minimax_step(cfg, lcfg, carry, psum_axis)
+
+    return jax.lax.scan(body, state, None, length=n_steps)
+
+
+def multigrid_minimax_init(cfgs, key: jax.Array,
+                           n_envs: int) -> MinimaxQState:
+    """Minimax-Q over a MIXED-geometry batch: the joint Q/V/pi tables are
+    concatenated over variants, and the batched all-state game re-solve
+    covers every variant's states in the same fused kernel."""
+    codec = multigrid.build_codec(tuple(cfgs))
+    nS = codec.nS_total
+    uniform = jnp.full((nS, N_ACTIONS), 1.0 / N_ACTIONS, jnp.float32)
+    return MinimaxQState(
+        q=jnp.zeros((nS, N_ACTIONS, N_ACTIONS), jnp.float32),
+        v=jnp.zeros(nS, jnp.float32),
+        pi_a=uniform, pi_b=uniform,
+        env=multigrid.init(list(cfgs), key, n_envs),
+        step=jnp.int32(0),
+        n=jnp.zeros((nS, N_ACTIONS, N_ACTIONS), jnp.float32),
+    )
+
+
+def multigrid_minimax_train(cfgs, lcfg: MinimaxQConfig,
+                            state: MinimaxQState, n_steps: int,
+                            psum_axis: Optional[str] = None
+                            ) -> tuple[MinimaxQState, jax.Array]:
+    """Fused minimax-Q training over a mixed-geometry batch (jit this)."""
+    eng = _multigrid_engine(multigrid.build_codec(tuple(cfgs)))
+
+    def body(carry, _):
+        return _minimax_step_engine(eng, lcfg, carry, psum_axis)
 
     return jax.lax.scan(body, state, None, length=n_steps)

@@ -14,6 +14,7 @@ own H/W).
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Sequence
 
 import jax
@@ -23,6 +24,7 @@ import numpy as np
 from ..config import EnvConfig
 from . import batch as corebatch
 from . import rules
+from . import tables
 
 
 class LaneGeometry(NamedTuple):
@@ -33,6 +35,7 @@ class LaneGeometry(NamedTuple):
     glo: jax.Array      # int32 [B] first goal row
     ghi: jax.Array      # int32 [B] last goal row
     slip: jax.Array     # float32 [B] slip probability
+    vid: jax.Array      # int32 [B] variant id (index into the cfgs list)
     max_steps: int
 
     @property
@@ -64,7 +67,59 @@ def lane_geometry(cfgs: Sequence[EnvConfig], batch_size: int,
     slip = np.asarray([c.slip_prob for c in cfgs], np.float32)[idx]
     return LaneGeometry(H=jnp.asarray(H), W=jnp.asarray(W),
                         glo=jnp.asarray(glo), ghi=jnp.asarray(ghi),
-                        slip=jnp.asarray(slip), max_steps=max_steps)
+                        slip=jnp.asarray(slip),
+                        vid=jnp.asarray(idx.astype(np.int32)),
+                        max_steps=max_steps)
+
+
+class MultiGridCodec(NamedTuple):
+    """Per-variant dense observation codec over a mixed-geometry batch.
+
+    The reference provides dense state indexing for any single geometry
+    (soccer_simultaneous_env.py:63-106, :487-494: goal states map to
+    observation 0, reachable states to their enumeration-order index);
+    this extends it to a MIXTURE — each lane's observation is computed
+    under its own variant's state space.  Arrays are host numpy, inlined
+    as constants under jit.
+    """
+    cfgs: tuple                 # tuple[EnvConfig, ...]
+    nS: tuple                   # per-variant dense state counts
+    offsets: np.ndarray         # [V] int32: variant base in the global index
+    nS_total: int               # sum of per-variant counts
+    raw_to_dense: np.ndarray    # [V, max_nraw] int32 (0-padded; lanes never
+    #                             produce raw codes outside their variant)
+
+
+@functools.lru_cache(maxsize=None)
+def build_codec(cfgs: tuple) -> MultiGridCodec:
+    """Build (cached) the mixed-batch observation codec.  ``cfgs`` must be
+    the same tuple used for `lane_geometry`/`init`."""
+    spaces = [tables.build_statespace(c) for c in cfgs]
+    nS = tuple(int(s.nS) for s in spaces)
+    offsets = np.concatenate([[0], np.cumsum(nS[:-1])]).astype(np.int32)
+    max_raw = max(s.raw_to_dense.shape[0] for s in spaces)
+    r2d = np.zeros((len(cfgs), max_raw), np.int32)
+    for v, s in enumerate(spaces):
+        r2d[v, :s.raw_to_dense.shape[0]] = s.raw_to_dense
+    return MultiGridCodec(cfgs=tuple(cfgs), nS=nS, offsets=offsets,
+                          nS_total=int(sum(nS)), raw_to_dense=r2d)
+
+
+def dense_obs(codec: MultiGridCodec, st: MultiGridState) -> jax.Array:
+    """Per-lane dense observation under the lane's OWN variant
+    (reference obs codec semantics per geometry: goal -> 0, reachable ->
+    enumeration-order index)."""
+    geo = st.geo
+    raw = rules.raw_encode(jnp, st.rows_a, st.cols_a, st.rows_b, st.cols_b,
+                           st.poss, geo)
+    return jnp.asarray(codec.raw_to_dense)[geo.vid, raw]
+
+
+def global_obs(codec: MultiGridCodec, st: MultiGridState) -> jax.Array:
+    """Variant-disjoint observation: ``offsets[vid] + dense_obs`` — the
+    index into learner tables concatenated over variants (each variant
+    keeps its own terminal slot at its offset)."""
+    return jnp.asarray(codec.offsets)[st.geo.vid] + dense_obs(codec, st)
 
 
 def _isd_fields(geo: LaneGeometry, u: jax.Array):
@@ -120,6 +175,12 @@ def _reset_where(st: MultiGridState, mask: jax.Array) -> MultiGridState:
         rows_b=pick(rb, st.rows_b), cols_b=pick(cb, st.cols_b),
         poss=pick(p, st.poss), t=pick(jnp.zeros_like(st.t), st.t),
         n=st.n + 1)
+
+
+def reset_where(st: MultiGridState, mask: jax.Array) -> MultiGridState:
+    """Public re-sample of masked lanes (one draw, batch-aligned) — used by
+    learners that need the pre-reset state (same stream as autoreset)."""
+    return _reset_where(st, mask)
 
 
 def step(st: MultiGridState, actions_a: jax.Array, actions_b: jax.Array,

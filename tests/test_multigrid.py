@@ -129,3 +129,113 @@ def test_salted_random_play_is_balanced():
         assert goals > 100, f"variant {v} too few goals: {goals}"
         # |net| for a fair coin over `goals` trials: 3 sigma = 3*sqrt(goals)
         assert net < 3 * np.sqrt(goals) + 1, (v, net, goals)
+
+
+# ----------------------------------------------------------------------
+# Dense observation codec + mixed-batch learners (per-variant raw_to_dense
+# over concatenated tables; reference obs semantics :487-494 per geometry)
+# ----------------------------------------------------------------------
+
+def test_dense_obs_matches_each_variants_statespace(final_and_traj):
+    """Per-lane dense_obs must equal the lane's OWN variant's raw_to_dense
+    lookup (goal -> 0, reachable -> enumeration-order index)."""
+    final, _ = final_and_traj
+    codec = multigrid.build_codec(tuple(CFGS))
+    obs = np.asarray(jax.jit(
+        lambda s: multigrid.dense_obs(codec, s))(final))
+    gobs = np.asarray(jax.jit(
+        lambda s: multigrid.global_obs(codec, s))(final))
+    idx = _lane_cfg_index()
+    fields = [np.asarray(x) for x in (final.rows_a, final.cols_a,
+                                      final.rows_b, final.cols_b,
+                                      final.poss)]
+    for v, cfg in enumerate(CFGS):
+        ss = batch.tables.build_statespace(cfg)
+        for i in np.nonzero(idx == v)[0]:
+            raw = int(rules.raw_encode(
+                np, *[int(f[i]) for f in fields], cfg))
+            want = int(ss.raw_to_dense[raw])
+            assert want >= 0, "lane reached an unreachable state"
+            assert obs[i] == want, (i, v, obs[i], want)
+            assert gobs[i] == codec.offsets[v] + want
+
+
+def test_global_obs_blocks_are_disjoint(final_and_traj):
+    final, _ = final_and_traj
+    codec = multigrid.build_codec(tuple(CFGS))
+    gobs = np.asarray(jax.jit(
+        lambda s: multigrid.global_obs(codec, s))(final))
+    idx = _lane_cfg_index()
+    for v in range(len(CFGS)):
+        lo = codec.offsets[v]
+        hi = lo + codec.nS[v]
+        sel = gobs[idx == v]
+        assert (sel >= lo).all() and (sel < hi).all()
+
+
+def test_single_variant_learners_bitmatch_batch_engine():
+    """A one-variant 'mixture' must reproduce the single-grid fused
+    learners BIT-EXACTLY: same per-instance keys, same draw order, same
+    scatter updates — the multigrid learner is the same algorithm wired
+    through the per-variant codec."""
+    from gym_soccer_tpu.agents import learners
+    cfg = EnvConfig(5, 4, 0.2)
+    B, T = 128, 50
+
+    lcfg = learners.IQLConfig(lr=0.2, eps=0.3)
+    s1 = learners.iql_init(cfg, jax.random.key(0), B)
+    s2 = learners.multigrid_iql_init([cfg], jax.random.key(0), B)
+    r1, td1 = jax.jit(lambda s: learners.iql_train(cfg, lcfg, s, T))(s1)
+    r2, td2 = jax.jit(
+        lambda s: learners.multigrid_iql_train((cfg,), lcfg, s, T))(s2)
+    assert np.array_equal(np.asarray(r1.q_a), np.asarray(r2.q_a))
+    assert np.array_equal(np.asarray(r1.q_b), np.asarray(r2.q_b))
+    assert np.array_equal(np.asarray(td1), np.asarray(td2))
+
+    mcfg = learners.MinimaxQConfig(resolve_every=8, solver_iters=20)
+    m1 = learners.minimax_init(cfg, jax.random.key(3), B)
+    m2 = learners.multigrid_minimax_init([cfg], jax.random.key(3), B)
+    n1, t1 = jax.jit(lambda s: learners.minimax_train(cfg, mcfg, s, T))(m1)
+    n2, t2 = jax.jit(
+        lambda s: learners.multigrid_minimax_train((cfg,), mcfg, s, T))(m2)
+    assert np.array_equal(np.asarray(n1.q), np.asarray(n2.q))
+    assert np.array_equal(np.asarray(n1.v), np.asarray(n2.v))
+    assert np.array_equal(np.asarray(n1.pi_a), np.asarray(n2.pi_a))
+
+
+def test_mixed_training_slices_match_single_grid():
+    """Statistical contract for mixed-batch learning (round-1 verdict #3):
+
+    (a) two copies of the SAME variant in one mixture learn statistically
+        matching Q/V slices (same game, disjoint lanes & table blocks);
+    (b) a variant trained inside a genuine mixture (5x4 + 6x4) matches a
+        single-grid training run of the same length (different streams).
+    """
+    from gym_soccer_tpu.agents import learners
+    cfg = EnvConfig(5, 4, 0.2)
+    mcfg = learners.MinimaxQConfig(resolve_every=32, solver_iters=50)
+    nS = batch.tables.build_statespace(cfg).nS
+
+    def corr(a, b):
+        m = (np.abs(a) > 0) & (np.abs(b) > 0)
+        return np.corrcoef(a[m], b[m])[0, 1]
+
+    # (a) same-variant slices
+    cfgs = (cfg, cfg)
+    st = learners.multigrid_minimax_init(cfgs, jax.random.key(7), 512)
+    st, _ = jax.jit(
+        lambda s: learners.multigrid_minimax_train(cfgs, mcfg, s, 2000))(st)
+    q, v = np.asarray(st.q), np.asarray(st.v)
+    assert corr(q[:nS], q[nS:]) > 0.75
+    assert np.corrcoef(v[:nS], v[nS:])[0, 1] > 0.9
+
+    # (b) mixture slice vs single-grid run
+    cfgs2 = (cfg, EnvConfig(6, 4, 0.1))
+    st2 = learners.multigrid_minimax_init(cfgs2, jax.random.key(8), 512)
+    st2, _ = jax.jit(
+        lambda s: learners.multigrid_minimax_train(cfgs2, mcfg, s, 2000))(st2)
+    sg = learners.minimax_init(cfg, jax.random.key(9), 256)
+    sg, _ = jax.jit(lambda s: learners.minimax_train(cfg, mcfg, s, 2000))(sg)
+    assert corr(np.asarray(st2.q)[:nS], np.asarray(sg.q)) > 0.75
+    assert np.corrcoef(np.asarray(st2.v)[:nS],
+                       np.asarray(sg.v))[0, 1] > 0.9
