@@ -289,6 +289,86 @@ def parity_policy_rollout_device(cfg: EnvConfig, pt: ParityTables, seeds,
     return parity_policy_rollout(cfg, pt, state, pol_rows, n_steps, hi, lo)
 
 
+class ParityEventOut(NamedTuple):
+    """Per-EVENT outputs (see parity_event_step).  On reset events the
+    transition fields (reward/done/truncated) are zeroed and ``was_reset``
+    is True; ``obs``/``raw`` always hold the post-event state."""
+    obs: jax.Array
+    raw: jax.Array
+    reward_a: jax.Array
+    done: jax.Array
+    truncated: jax.Array
+    was_reset: jax.Array
+
+
+def parity_event_step(cfg: EnvConfig, pt: ParityTables, state: ParityState,
+                      pol_rows: jax.Array, u_hi: jax.Array, u_lo: jax.Array
+                      ) -> tuple[ParityState, ParityEventOut]:
+    """One reference RNG draw per lane — EVENT time.
+
+    parity_step consumes 1-2 draws per call (an optional reset draw plus
+    the transition draw), so lanes' stream positions diverge as episodes
+    end at different times.  In event time each call consumes EXACTLY one
+    draw per lane: lanes needing a reset spend it on the ISD categorical
+    (reference reset(), :410-424), all others on the transition
+    categorical (step(), :394-396).  Per-lane draw ORDER is identical to
+    the reference's reset/step/step/... sequence, but every lane's stream
+    cursor advances in lockstep — the property the fused pallas parity
+    kernel (ops/parity_kernel.py) is built on, where it keeps thousands
+    of on-chip MT19937 generators position-synchronized.
+    """
+    nr = state.needs_reset
+
+    # ---- reset interpretation of the draw ----
+    isd_hi = jnp.asarray(pt.isd_cum_hi)
+    isd_lo = jnp.asarray(pt.isd_cum_lo)
+    le = _le_bits(isd_hi[None, :], isd_lo[None, :],
+                  u_hi[:, None], u_lo[:, None])
+    isd_i = jnp.minimum(jnp.sum(le, axis=-1),
+                        len(pt.isd_raw) - 1).astype(jnp.int32)
+    reset_raw = jnp.asarray(pt.isd_raw)[isd_i]
+
+    # ---- transition interpretation of the same draw ----
+    s = jnp.asarray(pt.raw_to_dense)[state.raw]
+    row = jnp.asarray(pol_rows, jnp.int32)[s]
+    pair = jnp.asarray(pt.cum_pair)[s, row]
+    i = _pick_first_exceedance(pair[..., 0], pair[..., 1], u_hi, u_lo)
+    m = jnp.asarray(pt.meta)[s, row, i]
+    ns_raw = jnp.where(s == 0, state.raw, m[..., 0])
+    done = m[..., 1] != 0
+    reward = jax.lax.bitcast_convert_type(m[..., 2], jnp.float32)
+    t2 = state.t + 1
+    truncated = t2 >= cfg.max_steps
+
+    new_raw = jnp.where(nr, reset_raw, ns_raw)
+    new_t = jnp.where(nr, 0, t2)
+    new = ParityState(raw=new_raw, t=new_t, cursor=state.cursor + 1,
+                      needs_reset=jnp.where(nr, False, done | truncated))
+    out = ParityEventOut(
+        obs=jnp.asarray(pt.raw_to_dense)[new_raw], raw=new_raw,
+        reward_a=jnp.where(nr, 0.0, reward),
+        done=~nr & done, truncated=~nr & truncated, was_reset=nr)
+    return new, out
+
+
+def parity_policy_events(cfg: EnvConfig, pt: ParityTables,
+                         state: ParityState, pol_rows: jax.Array,
+                         n_events: int, stream_hi: jax.Array,
+                         stream_lo: jax.Array):
+    """Closed-loop EVENT-time scan: exactly one draw per lane per event
+    (streams [B, n_events]).  Equivalent trajectories to
+    parity_policy_rollout, re-timed (see parity_event_step)."""
+    B = state.raw.shape[0]
+    bidx = jnp.arange(B)
+
+    def body(carry, k):
+        st = carry
+        return parity_event_step(cfg, pt, st, pol_rows,
+                                 stream_hi[bidx, k], stream_lo[bidx, k])
+
+    return jax.lax.scan(body, state, jnp.arange(n_events))
+
+
 def parity_rollout_device(cfg: EnvConfig, pt: ParityTables, seeds,
                           rows: jax.Array):
     """Fully device-resident parity rollout: per-instance MT19937 streams

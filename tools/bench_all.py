@@ -143,6 +143,31 @@ def bench_parity(quick):
     return B * T / dt
 
 
+def bench_parity_kernel(quick):
+    """Fused pallas parity kernel (bit-exact closed-loop, event-timed)."""
+    from gym_soccer_tpu.core import tables
+    from gym_soccer_tpu.ops import parity_kernel as pkm
+    B = 8192
+    e_s, e_l = (256, 512) if quick else (512, 1536)
+    nS = tables.build_statespace(CFG).nS
+    pol_a = np.random.RandomState(1).randint(0, 5, nS).astype(np.int32)
+    pol_b = np.random.RandomState(7).randint(0, 5, nS).astype(np.int32)
+    jr = pkm.jointrow_raw(CFG, pol_a, pol_b)
+    seeds = (np.arange(B) % 997).astype(np.uint32)
+
+    def run(E):
+        out = pkm.parity_events(CFG, seeds, jr, E)
+        return int(fetch(out.steps).sum())
+
+    def measure(E):
+        run(E)
+        return timed(lambda: run(E))
+
+    w_s, w_l = measure(e_s), measure(e_l)
+    steps = run(e_l)
+    return (e_l - e_s) * B / max(w_l - w_s, 1e-9) * (steps / (e_l * B))
+
+
 def bench_pallas(quick):
     from gym_soccer_tpu.ops.step_kernel import pallas_rollout
     B = 8192
@@ -185,6 +210,7 @@ def main():
         ("xla_stats_counter", bench_xla_stats_counter),
         ("xla_multigrid_mixed", bench_multigrid),
         ("parity_bit_exact", bench_parity),
+        ("parity_kernel_fused", bench_parity_kernel),
         ("pallas_fused", bench_pallas),
         ("table_build_native", bench_table_build),
     ]
