@@ -26,6 +26,8 @@ batched jit/vmap kernel (`alt_step`) are provided.
 """
 from __future__ import annotations
 
+import dataclasses
+import functools
 from typing import NamedTuple
 
 import jax
@@ -33,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import spaces
-from ..config import MOVES, EnvConfig, orthogonal_moves
+from ..config import MOVES, N_ACTIONS, EnvConfig, orthogonal_moves
 from ..core import rules
 
 
@@ -127,6 +129,219 @@ def alt_step(cfg: EnvConfig, state: AltEnvState, action: jax.Array,
     return mid, (reward_a, now_goal, truncated)
 
 
+# ----------------------------------------------------------------------
+# Tabular dynamics + planners (the prototype exposes a P table and is
+# meant to be solvable — soccer_alternating_env.py:100-200; this gives the
+# sane reimplementation the same capability, vectorized)
+# ----------------------------------------------------------------------
+
+# Per (state, action) there are at most 3 outcomes: the intended move
+# (prob 1-q) and the two orthogonal slips (q/2 each), in the facade
+# step()'s sampling order.  Turn-taking has no collision fan-out — the
+# steal rule is deterministic given the landed cell.
+ALT_MAX_TRANSITIONS = 3
+
+
+@dataclasses.dataclass
+class AltTables:
+    """Dense tabular dynamics of the alternating-turn game.
+
+    States are (xa, ya, xb, yb, p, turn); the mover of state ``s`` is
+    ``turn[s]``.  Dense index 0 is the absorbing terminal (all goal
+    states map there), mirroring the simultaneous tables' convention."""
+    cfg: EnvConfig
+    nS: int
+    raw_to_dense: np.ndarray   # [n_raw * 2] int32; -1 unreachable, 0 goal
+    dense_to_raw: np.ndarray   # [nS] int32 (raw*2 + turn codes)
+    fields: np.ndarray         # [nS, 6] int32 (xa, ya, xb, yb, p, turn)
+    turn: np.ndarray           # [nS] int32 — mover of each dense state
+    t_prob: np.ndarray         # [nS, nA, 3] float64
+    t_next_dense: np.ndarray   # [nS, nA, 3] int32
+    t_reward: np.ndarray       # [nS, nA, 3] float64 (A-perspective)
+    t_done: np.ndarray         # [nS, nA, 3] bool
+
+
+def alt_raw_encode(xp, xa, ya, xb, yb, p, turn, cfg: EnvConfig):
+    """Mixed-radix code over (simultaneous raw code, turn)."""
+    return rules.raw_encode(xp, xa, ya, xb, yb, p, cfg) * 2 + turn
+
+
+@functools.lru_cache(maxsize=None)
+def build_alt_tables(cfg: EnvConfig) -> AltTables:
+    """Vectorized enumeration of the alternating-turn dynamics.
+
+    Same reachability classification as the simultaneous game (players
+    never co-locate thanks to the steal rule; goal columns only entered
+    on goal rows with the ball), crossed with the 2 turn values."""
+    n_raw2 = cfg.n_raw * 2
+    code = np.arange(n_raw2, dtype=np.int64)
+    turn_all = (code & 1).astype(np.int32)
+    xa, ya, xb, yb, p = rules.raw_decode(np, code >> 1, cfg)
+
+    unreach = rules.is_unreachable(np, xa, ya, xb, yb, p, cfg)
+    goal = ~unreach & rules.is_goal_state(np, xa, ya, xb, yb, p, cfg)
+    reach = ~unreach & ~goal
+
+    raw_to_dense = np.full(n_raw2, -1, dtype=np.int32)
+    raw_to_dense[reach] = np.cumsum(reach)[reach].astype(np.int32)
+    raw_to_dense[goal] = 0
+    nS = int(reach.sum()) + 1
+
+    dense_to_raw = np.zeros(nS, dtype=np.int32)
+    dense_to_raw[raw_to_dense[reach]] = code[reach]
+    dense_to_raw[0] = code[goal][-1]
+
+    fxa, fya, fxb, fyb, fp = rules.raw_decode(np, dense_to_raw >> 1, cfg)
+    fturn = (dense_to_raw & 1).astype(np.int32)
+    fields = np.stack([fxa, fya, fxb, fyb, fp, fturn], axis=-1).astype(np.int32)
+
+    # --- transition expansion: [nS, nA, 3] ---------------------------------
+    from ..core.tables import _move_variants
+    mv = _move_variants()                       # [nA, 3, 2] (dcol, drow)
+    mc = mv[None, :, :, 0]
+    mr = mv[None, :, :, 1]
+    sxa, sya = fxa[:, None, None], fya[:, None, None]
+    sxb, syb = fxb[:, None, None], fyb[:, None, None]
+    sp, st = fp[:, None, None], fturn[:, None, None]
+    act = np.arange(N_ACTIONS, dtype=np.int32)[None, :, None]
+
+    nxa, nya, nxb, nyb, npz, nturn = alt_transition(
+        np, sxa, sya, sxb, syb, sp, st, act, mc, mr, cfg)
+    nxt = alt_raw_encode(np, nxa, nya, nxb, nyb, npz,
+                         np.broadcast_to(nturn, nxa.shape), cfg)
+    done = rules.is_goal_state(np, nxa, nya, nxb, nyb, npz, cfg)
+    reward = np.where(done, rules.goal_reward_a(np, nxa, nya, nxb, nyb,
+                                                npz, cfg), 0.0)
+    t_next_dense = raw_to_dense[nxt].astype(np.int32)
+    t_next_dense = np.broadcast_to(t_next_dense,
+                                   (nS, N_ACTIONS, ALT_MAX_TRANSITIONS)).copy()
+    done = np.broadcast_to(done, t_next_dense.shape).copy()
+    reward = np.broadcast_to(reward, t_next_dense.shape).copy()
+
+    q = float(cfg.slip_prob)
+    t_prob = np.broadcast_to(
+        np.array([1.0 - q, q * 0.5, q * 0.5], dtype=np.float64),
+        t_next_dense.shape).copy()
+
+    # Dense 0 is the absorbing terminal: self-loop, reward 0, done.
+    t_prob[0] = 0.0
+    t_prob[0, :, 0] = 1.0
+    t_next_dense[0] = 0
+    t_reward = reward
+    t_reward[0] = 0.0
+    done[0] = True
+
+    assert (t_next_dense >= 0).all(), "alternating step left the state space"
+    return AltTables(cfg=cfg, nS=nS, raw_to_dense=raw_to_dense,
+                     dense_to_raw=dense_to_raw, fields=fields, turn=fturn,
+                     t_prob=t_prob, t_next_dense=t_next_dense,
+                     t_reward=t_reward, t_done=done)
+
+
+def alt_value_iteration(tb: AltTables, theta: float = 1e-10,
+                        gamma: float = 0.99,
+                        frozen_a: np.ndarray | None = None,
+                        frozen_b: np.ndarray | None = None):
+    """Turn-based minimax value iteration (A-perspective values).
+
+    At A-to-move states V = max_a Q; at B-to-move states V = min_a Q —
+    the exact solution of the zero-sum turn game (no LP needed: only one
+    player acts per tick).  Passing ``frozen_a``/``frozen_b`` (int [nS]
+    policies) clamps that side's choice instead, turning the sweep into
+    best-response planning against a frozen opponent — the alternating
+    analogue of the reference's VI-vs-frozen-policy usage
+    (soccer_simultaneous_env.py:518-530).
+
+    Returns (pi, V, Q, sweeps): ``pi[s]`` is the mover's action."""
+    prob, ns = tb.t_prob, tb.t_next_dense
+    rew, done = tb.t_reward, tb.t_done
+    turn = tb.turn
+    idx = np.arange(tb.nS)
+    V = np.zeros(tb.nS, dtype=np.float64)
+    cc = 0
+    while True:
+        cont = np.where(done, 0.0, V[ns])
+        Q = np.einsum("sak,sak->sa", prob, rew + gamma * cont, optimize=True)
+        va = Q.max(axis=1) if frozen_a is None else Q[idx, frozen_a]
+        vb = Q.min(axis=1) if frozen_b is None else Q[idx, frozen_b]
+        newV = np.where(turn == 0, va, vb)
+        cc += 1
+        if np.max(np.abs(V - newV)) < theta:
+            break
+        V = newV
+    pa = Q.argmax(axis=1) if frozen_a is None else frozen_a
+    pb = Q.argmin(axis=1) if frozen_b is None else frozen_b
+    pi = np.where(turn == 0, pa, pb).astype(np.int32)
+    return pi, newV, Q, cc
+
+
+def alt_value_iteration_jax(t_prob, t_next_dense, t_reward, t_done, turn,
+                            theta: float = 1e-6, gamma: float = 0.99,
+                            max_sweeps: int = 20_000):
+    """Jitted turn-based minimax VI fixpoint (lax.while_loop), the
+    on-device twin of `alt_value_iteration` (same sweep; dtype follows
+    `t_prob` — float32 on TPU, use x64 arrays on CPU for tight thetas).
+
+    Returns (pi, V, Q, sweeps) with ``pi[s]`` the mover's action."""
+    dt = t_prob.dtype
+    a_moves = (turn == 0)
+
+    def backup(V):
+        cont = jnp.where(t_done, 0.0, V[t_next_dense])
+        return jnp.sum(t_prob * (t_reward + gamma * cont), axis=-1)
+
+    def cond(carry):
+        V, Q, cc, delta = carry
+        return (delta >= theta) & (cc < max_sweeps)
+
+    def body(carry):
+        V, _, cc, _ = carry
+        Q = backup(V)
+        newV = jnp.where(a_moves, Q.max(axis=1), Q.min(axis=1))
+        return newV, Q, cc + 1, jnp.max(jnp.abs(V - newV))
+
+    nS, nA = t_prob.shape[:2]
+    V0 = jnp.zeros(nS, dtype=dt)
+    Q0 = jnp.zeros((nS, nA), dtype=dt)
+    V, Q, cc, _ = jax.lax.while_loop(
+        cond, body, (V0, Q0, jnp.int32(0), jnp.asarray(jnp.inf, dt)))
+    pi = jnp.where(a_moves, Q.argmax(axis=1), Q.argmin(axis=1))
+    return pi.astype(jnp.int32), V, Q, cc
+
+
+alt_value_iteration_jax_jit = jax.jit(
+    alt_value_iteration_jax, static_argnames=("max_sweeps",))
+
+
+def alt_policy_rollout(cfg: EnvConfig, raw_to_dense, pol_a, pol_b,
+                       batch: int = 512, steps: int = 400, seed: int = 0,
+                       first_mover: int = 0):
+    """Batched closed-loop evaluation: both sides play their int [nS]
+    policy arrays through the jitted alternating kernel (autoreset on).
+
+    Returns (wins_a, losses_a, truncations) summed over all lanes/steps."""
+    r2d = jnp.asarray(raw_to_dense, dtype=jnp.int32)
+    pa = jnp.asarray(pol_a, dtype=jnp.int32)
+    pb = jnp.asarray(pol_b, dtype=jnp.int32)
+
+    def body(st, _):
+        raw2 = alt_raw_encode(jnp, st.rows_a, st.cols_a, st.rows_b,
+                              st.cols_b, st.poss, st.turn, cfg)
+        s = r2d[raw2]
+        a = jnp.where(st.turn == 0, pa[s], pb[s]).astype(jnp.int32)
+        st2, (rew, goal, trunc) = alt_step(cfg, st, a, autoreset=True)
+        return st2, (rew, trunc)
+
+    @jax.jit
+    def run(key):
+        st0 = alt_init(cfg, key, batch, first_mover)
+        _, (rews, truncs) = jax.lax.scan(body, st0, None, length=steps)
+        return ((rews > 0).sum(), (rews < 0).sum(), truncs.sum())
+
+    w, l, t = run(jax.random.key(seed))
+    return int(w), int(l), int(t)
+
+
 class SoccerAlternatingEnv:
     """Single-env alternating-turn facade (dict API like the simultaneous
     facade; one agent acts per step — the one named by `current_player`)."""
@@ -168,6 +383,43 @@ class SoccerAlternatingEnv:
     def current_player(self):
         assert self.state is not None, "reset first"
         return 'player_a' if self.state[5] == 0 else 'player_b'
+
+    @property
+    def tables(self) -> AltTables:
+        """Dense tabular dynamics (built lazily, cached per config)."""
+        return build_alt_tables(self.cfg)
+
+    @property
+    def nS(self) -> int:
+        return self.tables.nS
+
+    @property
+    def state_space(self):
+        """(xa, ya, xb, yb, p, turn) tuple -> dense index, like the
+        simultaneous facade's state_space dict."""
+        tb = self.tables
+        return {tuple(int(v) for v in tb.fields[s]): s
+                for s in range(1, tb.nS)}
+
+    @property
+    def P(self):
+        """Reference-prototype-style transition dict view
+        (soccer_alternating_env.py:100-130 exposes P): P[s][a] ->
+        ordered [(prob, next_dense, reward_a, done)], zero-probability
+        slip slots dropped (like the simultaneous env drops
+        zero-probability combos, soccer_simultaneous_env.py:226-227)."""
+        tb = self.tables
+        out = {}
+        for s in range(tb.nS):
+            row = {}
+            for a in range(N_ACTIONS):
+                row[a] = [
+                    (float(tb.t_prob[s, a, k]), int(tb.t_next_dense[s, a, k]),
+                     float(tb.t_reward[s, a, k]), bool(tb.t_done[s, a, k]))
+                    for k in range(ALT_MAX_TRANSITIONS)
+                    if tb.t_prob[s, a, k] > 0.0]
+            out[s] = row
+        return out
 
     def _obs(self):
         xa, ya, xb, yb, p, turn = self.state
