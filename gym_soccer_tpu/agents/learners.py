@@ -409,3 +409,114 @@ def multigrid_minimax_train(cfgs, lcfg: MinimaxQConfig,
         return _minimax_step_engine(eng, lcfg, carry, psum_axis)
 
     return jax.lax.scan(body, state, None, length=n_steps)
+
+
+# ----------------------------------------------------------------------
+# Alternating-turn Q-learning (turn-based minimax TD)
+# ----------------------------------------------------------------------
+
+class AltQState(NamedTuple):
+    q: jax.Array        # [nS_alt, 5] — A-perspective value of mover actions
+    env: object         # envs.soccer_alternating_env.AltEnvState
+    step: jax.Array
+
+
+class AltQConfig(NamedTuple):
+    lr: float = 0.2
+    gamma: float = 0.99
+    eps: float = 0.2
+
+
+def altq_init(cfg: EnvConfig, key: jax.Array, n_envs: int) -> AltQState:
+    from ..envs import soccer_alternating_env as alt
+    tb = alt.build_alt_tables(cfg)
+    return AltQState(q=jnp.zeros((tb.nS, N_ACTIONS), jnp.float32),
+                     env=alt.alt_init(cfg, key, n_envs),
+                     step=jnp.int32(0))
+
+
+def altq_step(cfg: EnvConfig, lcfg: AltQConfig, state: AltQState,
+              psum_axis: Optional[str] = None,
+              frozen_a=None, frozen_b=None) -> tuple[AltQState, jax.Array]:
+    """One fused act/step/update on the alternating-turn game.
+
+    Turn alternation makes the zero-sum TD rule LP-free (unlike
+    minimax-Q's matrix-game solves): a single A-perspective table
+    Q[s, a] over mover actions, with bootstrap value
+    V(s') = max_a Q[s'] at A-to-move states and min_a Q[s'] at
+    B-to-move states — Q-learning on the exact minimax Bellman operator
+    of `alt_value_iteration`, so the fixpoint is the game's value.
+    Behavior is eps-greedy for the mover (A argmax / B argmin);
+    ``frozen_a``/``frozen_b`` clamp that side's moves to an int [nS]
+    policy and leave its turns' rows out of the update."""
+    from ..core import batch as corebatch
+    from ..envs import soccer_alternating_env as alt
+    tb = alt.build_alt_tables(cfg)
+    r2d = jnp.asarray(tb.raw_to_dense)
+    turn_of = jnp.asarray(tb.turn)
+    st = state.env
+
+    def dense_obs(s):
+        return r2d[alt.alt_raw_encode(jnp, s.rows_a, s.cols_a, s.rows_b,
+                                      s.cols_b, s.poss, s.turn, cfg)]
+
+    obs = dense_obs(st)
+    env_view = corebatch.EnvState(st.rows_a, st.cols_a, st.rows_b,
+                                  st.cols_b, st.poss, st.t, st.n, st.key)
+    u = corebatch.per_env_uniforms(env_view, 2, salt=1).T
+    mover_is_a = st.turn == 0
+
+    qrow = state.q[obs]
+    greedy = jnp.where(mover_is_a, jnp.argmax(qrow, axis=-1),
+                       jnp.argmin(qrow, axis=-1)).astype(jnp.int32)
+    rand = (u[1] * N_ACTIONS).astype(jnp.int32) % N_ACTIONS
+    a = jnp.where(u[0] < lcfg.eps, rand, greedy)
+    learn_w = jnp.ones_like(u[0])
+    if frozen_a is not None:
+        a = jnp.where(mover_is_a, jnp.asarray(frozen_a)[obs], a)
+        learn_w = jnp.where(mover_is_a, 0.0, learn_w)
+    if frozen_b is not None:
+        a = jnp.where(mover_is_a, a, jnp.asarray(frozen_b)[obs])
+        learn_w = jnp.where(mover_is_a, learn_w, 0.0)
+
+    mid, (reward_a, goal, trunc) = alt.alt_step(cfg, st, a, autoreset=False)
+    final_obs = dense_obs(mid)
+    term = goal | trunc
+    cont = jnp.where(term, 0.0, 1.0)
+    vnext = jnp.where(turn_of[final_obs] == 0,
+                      state.q[final_obs].max(-1), state.q[final_obs].min(-1))
+    tgt = reward_a + lcfg.gamma * cont * vnext
+    td = tgt - state.q[obs, a]
+
+    # Count-normalized scatter update (see iql_step); frozen-side turns
+    # carry weight 0 so their rows stay untouched.
+    sum_td = jnp.zeros_like(state.q).at[obs, a].add(td * learn_w)
+    cnt = jnp.zeros_like(state.q).at[obs, a].add(learn_w)
+    if psum_axis is not None:
+        sum_td = jax.lax.psum(sum_td, psum_axis)
+        cnt = jax.lax.psum(cnt, psum_axis)
+    q = state.q + lcfg.lr * sum_td / jnp.maximum(cnt, 1.0)
+
+    env2 = alt.alt_reset_where(cfg, mid, term)
+    new = AltQState(q=q, env=env2, step=state.step + 1)
+    return new, jnp.abs(td * learn_w).sum() / jnp.maximum(learn_w.sum(), 1.0)
+
+
+def altq_train(cfg: EnvConfig, lcfg: AltQConfig, state: AltQState,
+               n_steps: int, psum_axis: Optional[str] = None,
+               frozen_a=None, frozen_b=None) -> tuple[AltQState, jax.Array]:
+    """`lax.scan` over fused alternating learner steps (jit this)."""
+    def body(carry, _):
+        return altq_step(cfg, lcfg, carry, psum_axis, frozen_a, frozen_b)
+
+    return jax.lax.scan(body, state, None, length=n_steps)
+
+
+def altq_greedy_policy(cfg: EnvConfig, q) -> jnp.ndarray:
+    """Mover's greedy policy per dense state: argmax at A-to-move states,
+    argmin at B-to-move states (A-perspective values)."""
+    from ..envs import soccer_alternating_env as alt
+    turn = jnp.asarray(alt.build_alt_tables(cfg).turn)
+    q = jnp.asarray(q)
+    return jnp.where(turn == 0, jnp.argmax(q, -1),
+                     jnp.argmin(q, -1)).astype(jnp.int32)

@@ -117,16 +117,22 @@ def alt_step(cfg: EnvConfig, state: AltEnvState, action: jax.Array,
     mid = AltEnvState(nra, nca, nrb, ncb, npz, nturn, t, state.n + 1,
                       state.key)
     if autoreset:
-        term = now_goal | truncated
-        env_mid = corebatch.EnvState(mid.rows_a, mid.cols_a, mid.rows_b,
-                                     mid.cols_b, mid.poss, mid.t, mid.n,
-                                     mid.key)
-        env_new = corebatch._reset_where(cfg, env_mid, term)
-        mid = AltEnvState(env_new.rows_a, env_new.cols_a, env_new.rows_b,
-                          env_new.cols_b, env_new.poss,
-                          jnp.where(term, 0, mid.turn),
-                          env_new.t, env_new.n, mid.key)
+        mid = alt_reset_where(cfg, mid, now_goal | truncated)
     return mid, (reward_a, now_goal, truncated)
+
+
+def alt_reset_where(cfg: EnvConfig, state: AltEnvState,
+                    mask: jax.Array) -> AltEnvState:
+    """Re-sample masked lanes from the ISD (turn resets to first mover 0)."""
+    from ..core import batch as corebatch
+    env_mid = corebatch.EnvState(state.rows_a, state.cols_a, state.rows_b,
+                                 state.cols_b, state.poss, state.t, state.n,
+                                 state.key)
+    env_new = corebatch._reset_where(cfg, env_mid, mask)
+    return AltEnvState(env_new.rows_a, env_new.cols_a, env_new.rows_b,
+                       env_new.cols_b, env_new.poss,
+                       jnp.where(mask, 0, state.turn),
+                       env_new.t, env_new.n, state.key)
 
 
 # ----------------------------------------------------------------------

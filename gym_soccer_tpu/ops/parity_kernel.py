@@ -524,7 +524,7 @@ def parity_events(cfg: EnvConfig, seeds: jax.Array, jr: jax.Array,
             # MT seed states stay in HBM; the kernel DMAs its lane block
             # into scratch once (a VMEM input block would be
             # double-buffered across grid steps: +5 MB scoped VMEM).
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],

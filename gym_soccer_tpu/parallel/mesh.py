@@ -132,3 +132,23 @@ def sharded_minimax_train_fn(cfg: EnvConfig, lcfg, mesh: Mesh, n_steps: int,
     fn = jax.shard_map(local, mesh=mesh, in_specs=(specs,),
                        out_specs=(specs, P()))
     return jax.jit(fn)
+
+
+def sharded_altq_train_fn(cfg: EnvConfig, lcfg, mesh: Mesh, n_steps: int,
+                          axis: str = "env"):
+    """Data-parallel fused alternating-turn Q-learning (same layout:
+    env lanes sharded, the single Q-table replicated via delta-psum)."""
+    from ..agents import learners
+    from ..envs.soccer_alternating_env import AltEnvState
+
+    specs = learners.AltQState(q=P(), env=AltEnvState(*([P(axis)] * 9)),
+                               step=P())
+
+    def local(state):
+        st, td = learners.altq_train(cfg, lcfg, state, n_steps,
+                                     psum_axis=axis)
+        return st, jax.lax.pmean(td, axis)
+
+    fn = jax.shard_map(local, mesh=mesh, in_specs=(specs,),
+                       out_specs=(specs, P()))
+    return jax.jit(fn)

@@ -125,3 +125,70 @@ def test_sharded_training_matches_single_device():
                                rtol=0, atol=1e-5)
     np.testing.assert_allclose(np.asarray(s1.q_b), np.asarray(sN.q_b),
                                rtol=0, atol=1e-5)
+
+
+def test_alternating_q_learner_converges_to_minimax_values():
+    """Turn-based Q-learning (agents.learners.altq_*) is Q-learning on the
+    exact minimax Bellman operator of alt_value_iteration: an annealed
+    self-play run approaches the game's exact values, and its greedy
+    policy wins >95% of completed episodes vs a frozen random opponent."""
+    from gym_soccer_tpu.envs.soccer_alternating_env import (
+        alt_policy_rollout, alt_value_iteration, build_alt_tables)
+    cfg = EnvConfig(5, 4, 0.2)
+    tb = build_alt_tables(cfg)
+    _, V_star, _, _ = alt_value_iteration(tb)
+
+    st = jax.jit(lambda k: learners.altq_init(cfg, k, 256))(jax.random.key(0))
+    for lr, eps, n in [(0.25, 0.3, 15000), (0.08, 0.15, 15000)]:
+        lcfg = learners.AltQConfig(lr=lr, gamma=0.99, eps=eps)
+        train = jax.jit(lambda s, c=lcfg: learners.altq_train(cfg, c, s, n))
+        st, td = jax.block_until_ready(train(st))
+
+    q = np.asarray(st.q)
+    V_l = np.where(tb.turn == 0, q.max(-1), q.min(-1))
+    err = np.abs(V_l - np.asarray(V_star))
+    assert err.mean() < 0.08, f"mean |V - V*| {err.mean():.3f}"
+
+    pol = np.asarray(learners.altq_greedy_policy(cfg, st.q))
+    randpol = np.random.RandomState(0).randint(0, 5, tb.nS).astype(np.int32)
+    w, l, tr = alt_policy_rollout(cfg, tb.raw_to_dense, pol, randpol,
+                                  batch=128, steps=300, seed=6)
+    assert w > 0 and w / (w + l) > 0.95
+
+
+def test_alternating_q_learner_frozen_opponent():
+    """Freezing one side clamps its moves and leaves its turns' rows out
+    of the update (the alternating analogue of iql frozen mode)."""
+    from gym_soccer_tpu.envs.soccer_alternating_env import build_alt_tables
+    cfg = EnvConfig(5, 4, 0.2)
+    tb = build_alt_tables(cfg)
+    stand = np.zeros(tb.nS, dtype=np.int32)
+    st = jax.jit(lambda k: learners.altq_init(cfg, k, 64))(jax.random.key(1))
+    lcfg = learners.AltQConfig(lr=0.2, gamma=0.99, eps=0.3)
+    train = jax.jit(lambda s: learners.altq_train(cfg, lcfg, s, 500,
+                                                  frozen_b=stand))
+    st2, _ = jax.block_until_ready(train(st))
+    q = np.asarray(st2.q)
+    # B-to-move rows (except terminal 0) received no updates
+    b_rows = (np.asarray(tb.turn) == 1)
+    b_rows[0] = False
+    assert (q[b_rows] == 0.0).all()
+    assert (q != 0.0).any()
+
+
+def test_alternating_sharded_training_matches_single_device():
+    """Delta-psum DP training of the alternating learner on the 8-device
+    mesh produces the same Q-table as single-device on the same batch."""
+    cfg = EnvConfig(5, 4, 0.2)
+    n_envs, steps = 64, 50
+    lcfg = learners.AltQConfig()
+    st = jax.jit(lambda k: learners.altq_init(cfg, k, n_envs))(
+        jax.random.key(0))
+    single = jax.jit(lambda s: learners.altq_train(cfg, lcfg, s, steps))
+    s1, _ = jax.block_until_ready(single(st))
+
+    m = pmesh.env_mesh()
+    train = pmesh.sharded_altq_train_fn(cfg, lcfg, m, steps)
+    sN, _ = jax.block_until_ready(train(st))
+    np.testing.assert_allclose(np.asarray(s1.q), np.asarray(sN.q),
+                               rtol=0, atol=1e-5)
