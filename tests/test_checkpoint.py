@@ -62,3 +62,22 @@ def test_save_is_atomic(tmp_path):
     path = str(tmp_path / "a.npz")
     checkpoint.save_pytree(path, {"x": np.arange(4)})
     assert os.path.exists(path) and not os.path.exists(path + ".tmp")
+
+
+def test_altq_state_roundtrip(tmp_path):
+    """The alternating learner's full state (Q + env lanes + PRNG key)
+    checkpoints and resumes exactly, like the IQL/minimax states."""
+    from gym_soccer_tpu.agents import learners
+    cfg = EnvConfig(5, 4, 0.2)
+    lcfg = learners.AltQConfig()
+    st = jax.jit(lambda k: learners.altq_init(cfg, k, 32))(jax.random.key(2))
+    st, _ = jax.jit(lambda s: learners.altq_train(cfg, lcfg, s, 20))(st)
+    path = str(tmp_path / "altq.npz")
+    checkpoint.save_pytree(path, st)
+    st2 = checkpoint.load_pytree(path, st)
+    # resuming from the restored state continues identically
+    a1, _ = jax.jit(lambda s: learners.altq_train(cfg, lcfg, s, 10))(st)
+    a2, _ = jax.jit(lambda s: learners.altq_train(cfg, lcfg, s, 10))(st2)
+    np.testing.assert_array_equal(np.asarray(a1.q), np.asarray(a2.q))
+    np.testing.assert_array_equal(np.asarray(a1.env.rows_a),
+                                  np.asarray(a2.env.rows_a))

@@ -125,6 +125,56 @@ def bench_multigrid(quick):
     return B * T / dt
 
 
+def bench_alternating(quick):
+    """Batched alternating-turn engine under a minimax-VI policy pair."""
+    from gym_soccer_tpu.envs.soccer_alternating_env import (
+        alt_init, alt_raw_encode, alt_step, alt_value_iteration,
+        build_alt_tables)
+    B, T = 8192, 200 if quick else 1000
+    tb = build_alt_tables(CFG)
+    pi, V, Q, _ = alt_value_iteration(tb, theta=1e-6)
+    r2d = jnp.asarray(tb.raw_to_dense)
+    pol = jnp.asarray(pi)
+
+    def body(st, _):
+        raw2 = alt_raw_encode(jnp, st.rows_a, st.cols_a, st.rows_b,
+                              st.cols_b, st.poss, st.turn, CFG)
+        st2, (rew, goal, trunc) = alt_step(CFG, st, pol[r2d[raw2]],
+                                           autoreset=True)
+        return st2, rew.sum()
+
+    @jax.jit
+    def roll(s):
+        return jax.lax.scan(body, s, None, length=T)
+
+    st = jax.jit(lambda k: alt_init(CFG, k, B))(jax.random.key(0))
+
+    def run():
+        nonlocal st
+        st, r = roll(st)
+        fetch(r.sum())
+
+    dt = timed(run)
+    return B * T / dt
+
+
+def bench_altq_learner(quick):
+    """Fused alternating-turn Q-learning (act/step/TD under one scan)."""
+    from gym_soccer_tpu.agents import learners
+    B, T = 8192, 100 if quick else 500
+    lcfg = learners.AltQConfig()
+    st = jax.jit(lambda k: learners.altq_init(CFG, k, B))(jax.random.key(0))
+    train = jax.jit(lambda s: learners.altq_train(CFG, lcfg, s, T))
+
+    def run():
+        nonlocal st
+        st, td = train(st)
+        fetch(td.sum())
+
+    dt = timed(run)
+    return B * T / dt
+
+
 def bench_parity(quick):
     B, T = 8192, 200 if quick else 1000
     pt = parity.parity_tables(CFG)
@@ -209,6 +259,8 @@ def main():
         ("xla_stats_threefry", bench_xla_stats_threefry),
         ("xla_stats_counter", bench_xla_stats_counter),
         ("xla_multigrid_mixed", bench_multigrid),
+        ("xla_alternating_engine", bench_alternating),
+        ("xla_altq_learner", bench_altq_learner),
         ("parity_bit_exact", bench_parity),
         ("parity_kernel_fused", bench_parity_kernel),
         ("pallas_fused", bench_pallas),
