@@ -148,6 +148,12 @@ class SoccerSimultaneousEnv:
         # first use: single-env stepping is host-bound, and bisect over a
         # cached float list beats numpy scalar indexing ~4x.
         self._row_cache = {}
+        # Hot-path state index: tuple -> dense (goals -> 0), replacing a
+        # raw encode + numpy scalar read per step with one dict hash.
+        self._dense_index = dict(self.state_space)
+        self._dense_index.update((g, 0) for g in self.goal_states)
+        self._max_steps = self.cfg.max_steps
+        self._solo_agent = self.return_agent[0]
 
         self.needs_reset = True
         self.state = None
@@ -209,8 +215,7 @@ class SoccerSimultaneousEnv:
                 f"An action for {only_agent} must be provided"
 
         cur = tuple(self.state)
-        raw = self._state_raw(cur)
-        s = int(self._tb.raw_to_dense[raw])
+        s = self._dense_index.get(cur, -1)
         assert s >= 0, f"Cannot step from unreachable state {cur}"
         if self.multiagent:
             row = int(action['player_a']) * 5 + int(action['player_b'])
@@ -221,13 +226,19 @@ class SoccerSimultaneousEnv:
         if entry is None:
             arr = self._arr
             cum = arr["t_cum"][s, row].tolist()
-            # cache the np.round(prob, 2) the info dict needs (:405)
-            outs = [(float(p), rules.raw_decode(np, int(nr), self.cfg),
-                     float(r), bool(d), np.round(p, 2))
-                    for p, nr, r, d in zip(arr["t_prob"][s, row],
-                                           arr["t_next_raw"][s, row],
-                                           arr["t_reward"][s, row],
-                                           arr["t_done"][s, row])]
+            # cache the np.round(prob, 2) the info dict needs (:405) and
+            # the next state's observation index (goal states -> 0)
+            outs = []
+            for p, nr, r, d in zip(arr["t_prob"][s, row],
+                                   arr["t_next_raw"][s, row],
+                                   arr["t_reward"][s, row],
+                                   arr["t_done"][s, row]):
+                ns = rules.raw_decode(np, int(nr), self.cfg)
+                # zero-probability padding slots may carry unreachable
+                # states; they are never selected (cum is flat there, and
+                # bisect_right skips past ties), so 0 is a safe placeholder
+                outs.append((float(p), ns, float(r), bool(d),
+                             np.round(p, 2), self._dense_index.get(ns, 0)))
             entry = self._row_cache[(s, row)] = (
                 cum, outs, int(arr["t_first"][s, row]))
 
@@ -240,27 +251,34 @@ class SoccerSimultaneousEnv:
         if i >= len(cum):
             i = first
 
-        prob, ns_tuple, reward, done, prob_rounded = outs[i]
+        prob, ns_tuple, reward, done, prob_rounded, ns_obs = outs[i]
         if s == 0:
             # Absorbing goal state: the dense row's outcome points at the
             # class representative; the actual state self-loops (:300-301).
             ns_tuple = cur
         self.state = ns_tuple
-
-        self.observations = {a: self._state_to_observation(self.state)
-                             for a in self.return_agent}
         self.lastaction = action
-        self.timestep += 1
-        rewards = {a: reward for a in self.return_agent}
-        if self.multiagent:
-            rewards['player_b'] *= -1
-        dones = {a: done for a in self.return_agent}
-        truncateds = {a: self.timestep >= self.cfg.max_steps
-                      for a in self.return_agent}
-        infos = {a: {"p": prob_rounded} for a in self.return_agent}
-        self.needs_reset = any(dones.values()) or any(truncateds.values())
+        self.timestep = ts = self.timestep + 1
+        trunc = ts >= self._max_steps
+        self.needs_reset = done or trunc
 
-        return self.observations, rewards, dones, truncateds, infos
+        if self.multiagent:
+            observations = {'player_a': ns_obs, 'player_b': ns_obs}
+            rewards = {'player_a': reward, 'player_b': reward * -1}
+            dones = {'player_a': done, 'player_b': done}
+            truncateds = {'player_a': trunc, 'player_b': trunc}
+            infos = {'player_a': {"p": prob_rounded},
+                     'player_b': {"p": prob_rounded}}
+        else:
+            a0 = self._solo_agent
+            observations = {a0: ns_obs}
+            rewards = {a0: reward}
+            dones = {a0: done}
+            truncateds = {a0: trunc}
+            infos = {a0: {"p": prob_rounded}}
+        self.observations = observations
+
+        return observations, rewards, dones, truncateds, infos
 
     # ------------------------------------------------------------------
     # Rendering (reference :426-485; format preserved)
