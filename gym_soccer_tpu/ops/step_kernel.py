@@ -295,3 +295,136 @@ def pallas_rollout(cfg: EnvConfig, seed: jax.Array, batch: int,
     *fields, stats = outs
     stats = stats.sum(axis=0)
     return tuple(fields), (stats[0], stats[1], stats[2])
+
+
+# ----------------------------------------------------------------------
+# Alternating-turn fused rollout (envs/soccer_alternating_env semantics)
+# ----------------------------------------------------------------------
+
+def alt_transition_core(ra, ca, rb, cb, p, turn, a, bits1, cfg: EnvConfig,
+                        q_int: int):
+    """Alternating-turn transition, arithmetically (the kernel twin of
+    envs/soccer_alternating_env.alt_transition): the mover's slipped move,
+    steal-on-contact (possession to the invaded opponent), goal check.
+    Returns (nra, nca, nrb, ncb, npz, goal, r); the caller flips turn."""
+    u = _u16
+    mc, mr = _slipped_move(a, u(bits1, 0), q_int)
+    a_moves = turn == 0
+    mx = jnp.where(a_moves, ra, rb)
+    my = jnp.where(a_moves, ca, cb)
+    ox = jnp.where(a_moves, rb, ra)
+    oy = jnp.where(a_moves, cb, ca)
+    ball = p == turn
+    nx, ny = _next_cell(mx, my, mc, mr, ball, cfg)
+    collide = (nx == ox) & (ny == oy)
+    nx = jnp.where(collide, mx, nx)
+    ny = jnp.where(collide, my, ny)
+    npz = jnp.where(collide, 1 - turn, p)
+    nra = jnp.where(a_moves, nx, ra)
+    nca = jnp.where(a_moves, ny, ca)
+    nrb = jnp.where(a_moves, rb, nx)
+    ncb = jnp.where(a_moves, cb, ny)
+    a_ball = npz == 0
+    ball_col = jnp.where(a_ball, nca, ncb)
+    gr = (a_ball & _in_goal_rows(nra, cfg)) | \
+         (~a_ball & _in_goal_rows(nrb, cfg))
+    goal = gr & ((ball_col == 0) | (ball_col == cfg.W - 1))
+    r = jnp.where(goal, jnp.where(ball_col == cfg.W - 1, 1, -1),
+                  0).astype(jnp.int32)
+    return nra, nca, nrb, ncb, npz, goal, r
+
+
+def _alt_step_once(carry, bits0, bits1, bits2, cfg: EnvConfig, q_int: int):
+    ra, ca, rb, cb, p, turn, t, rew, goals, truncs = carry
+    a = _u16(bits0, 0) % 5
+    nra, nca, nrb, ncb, npz, goal, r = alt_transition_core(
+        ra, ca, rb, cb, p, turn, a, bits1, cfg, q_int)
+    nra, nca, nrb, ncb, npz, t, trunc = autoreset_core(
+        nra, nca, nrb, ncb, npz, t, goal, bits2, cfg)
+    term = goal | trunc
+    nturn = jnp.where(term, 0, 1 - turn)
+    return (nra, nca, nrb, ncb, npz, nturn, t,
+            rew + r, goals + goal.astype(jnp.int32),
+            truncs + trunc.astype(jnp.int32))
+
+
+def _alt_rollout_kernel(seed_ref, ra_ref, ca_ref, rb_ref, cb_ref, p_ref,
+                        turn_ref, t_ref,
+                        ora, oca, orb, ocb, op, oturn, ot, stats_ref,
+                        *, cfg: EnvConfig, n_steps: int, q_int: int):
+    seed = seed_ref[0].astype(jnp.uint32)
+    shape = ra_ref.shape
+    rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    block = pl.program_id(0).astype(jnp.uint32)
+    lane_ctr = (block * jnp.uint32(shape[0] * shape[1])
+                + rows * jnp.uint32(shape[1]) + cols)
+
+    def body(i, carry):
+        bits0 = _random_word(seed, i, 0, lane_ctr)
+        bits1 = _random_word(seed, i, 1, lane_ctr)
+        bits2 = _random_word(seed, i, 2, lane_ctr)
+        return _alt_step_once(carry, bits0, bits1, bits2, cfg, q_int)
+
+    zeros = jnp.zeros(shape, jnp.int32)
+    carry = (ra_ref[:], ca_ref[:], rb_ref[:], cb_ref[:], p_ref[:],
+             turn_ref[:], t_ref[:], zeros, zeros, zeros)
+    carry = jax.lax.fori_loop(0, n_steps, body, carry)
+    ra, ca, rb, cb, p, turn, t, rew, goals, truncs = carry
+    ora[:], oca[:], orb[:], ocb[:] = ra, ca, rb, cb
+    op[:], oturn[:], ot[:] = p, turn, t
+    b = pl.program_id(0)
+    stats_ref[b, 0] = jnp.sum(rew)
+    stats_ref[b, 1] = jnp.sum(goals)
+    stats_ref[b, 2] = jnp.sum(truncs)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "n_steps", "batch", "interpret",
+                                    "block_rows"))
+def pallas_alt_rollout(cfg: EnvConfig, seed: jax.Array, batch: int,
+                       n_steps: int, interpret: bool = False,
+                       block_rows: int | None = None):
+    """Fused random-play rollout of the ALTERNATING-turn game: `n_steps`
+    single-mover ticks for `batch` envs fully on-chip (same VMEM/blocking/
+    counter-PRNG scheme as `pallas_rollout`).  Returns
+    (final fields (ra, ca, rb, cb, p, turn, t), (reward_sum, goals,
+    truncs))."""
+    assert batch % (8 * LANES) == 0, "batch must be a multiple of 1024"
+    shape = (batch // LANES, LANES)
+    q_int = int(round(cfg.slip_prob * 65536))
+
+    if block_rows:
+        if shape[0] % block_rows:
+            raise ValueError(
+                f"block_rows={block_rows} does not divide the batch's "
+                f"{shape[0]} rows")
+        BLOCK_ROWS = block_rows
+    else:
+        cap = min(shape[0], 32768 // LANES)
+        BLOCK_ROWS = next(r for r in range(cap, 0, -1) if shape[0] % r == 0)
+    n_blocks = shape[0] // BLOCK_ROWS
+    blk = (BLOCK_ROWS, LANES)
+
+    init = list(isd_spread_fields(cfg, batch, shape))
+    turn0 = jnp.zeros(shape, jnp.int32)
+    t0 = jnp.zeros(shape, jnp.int32)
+
+    kernel = functools.partial(_alt_rollout_kernel, cfg=cfg,
+                               n_steps=n_steps, q_int=q_int)
+    out_shapes = ([jax.ShapeDtypeStruct(shape, jnp.int32)] * 7 +
+                  [jax.ShapeDtypeStruct((n_blocks, 3), jnp.int32)])
+    state_spec = pl.BlockSpec(blk, lambda b: (b, 0),
+                              memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        out_shape=tuple(out_shapes),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [state_spec] * 7,
+        out_specs=tuple([state_spec] * 7 +
+                        [pl.BlockSpec(memory_space=pltpu.SMEM)]),
+        interpret=interpret,
+    )(jnp.asarray([seed], jnp.int32).reshape(1), *init, turn0, t0)
+    *fields, stats = outs
+    stats = stats.sum(axis=0)
+    return tuple(fields), (stats[0], stats[1], stats[2])

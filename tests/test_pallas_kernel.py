@@ -69,3 +69,68 @@ def test_blocking_invariance():
     for a, b in zip(fields1, fields4):
         assert np.array_equal(np.asarray(a), np.asarray(b))
     assert [int(x) for x in stats1] == [int(x) for x in stats4]
+
+
+# ----------------------------------------------------------------------
+# Alternating-turn fused rollout
+# ----------------------------------------------------------------------
+
+def _alt_kernel_stats(seed, B=2048, T=400):
+    from gym_soccer_tpu.ops.step_kernel import pallas_alt_rollout
+    fields, stats = pallas_alt_rollout(CFG, jnp.int32(seed), B, T,
+                                       interpret=True)
+    rew, goals, truncs = (int(x) for x in stats)
+    return rew, goals, truncs, B * T, fields
+
+
+def _alt_xla_stats(seed, B=2048, T=400):
+    from gym_soccer_tpu.core import batch as corebatch
+    from gym_soccer_tpu.envs.soccer_alternating_env import alt_init, alt_step
+
+    def body(st, _):
+        env_view = corebatch.EnvState(st.rows_a, st.cols_a, st.rows_b,
+                                      st.cols_b, st.poss, st.t, st.n, st.key)
+        u = corebatch.per_env_uniforms(env_view, 1, salt=3)[:, 0]
+        a = jnp.minimum((u * 5).astype(jnp.int32), 4)
+        st2, out = alt_step(CFG, st, a, autoreset=True)
+        return st2, out
+
+    st = jax.jit(lambda k: alt_init(CFG, k, B))(jax.random.key(seed))
+    _, (r, g, tr) = jax.jit(
+        lambda s: jax.lax.scan(body, s, None, length=T))(st)
+    return (float(np.asarray(r).sum()), int(np.asarray(g).sum()),
+            int(np.asarray(tr).sum()), B * T)
+
+
+def test_alt_kernel_rates_match_xla_engine():
+    kr, kg, kt, kn, _ = _alt_kernel_stats(0)
+    xr, xg, xt, xn = _alt_xla_stats(0)
+    # binomial sigma ~ 1.3e-4 on the goal rate at n=819200; allow
+    # 16-bit-threshold model bias + 5 sigma
+    assert abs(kg / kn - xg / xn) < 0.0012, (kg / kn, xg / xn)
+    assert abs(kt / kn - xt / xn) < 0.0006, (kt / kn, xt / xn)
+    # zero-sum random play: net reward is a +-1 random walk over goals
+    assert abs(kr) < 5 * max(np.sqrt(kg), 1), (kr, kg)
+
+
+def test_alt_kernel_final_states_valid():
+    from gym_soccer_tpu.core import rules
+    from gym_soccer_tpu.envs.soccer_alternating_env import build_alt_tables
+    _, _, _, _, fields = _alt_kernel_stats(3)
+    ra, ca, rb, cb, p, turn, t = (np.asarray(f).ravel() for f in fields)
+    tb = build_alt_tables(CFG)
+    raw2 = rules.raw_encode(np, ra, ca, rb, cb, p, CFG) * 2 + turn
+    dense = tb.raw_to_dense[raw2]
+    assert (dense > 0).all(), "autoreset must leave no terminal/unreachable"
+    assert np.isin(turn, (0, 1)).all()
+    assert (t >= 0).all() and (t < CFG.max_steps).all()
+
+
+def test_alt_kernel_blocking_invariance():
+    from gym_soccer_tpu.ops.step_kernel import pallas_alt_rollout
+    f1, s1 = pallas_alt_rollout(CFG, jnp.int32(7), 2048, 40, interpret=True)
+    f4, s4 = pallas_alt_rollout(CFG, jnp.int32(7), 2048, 40, interpret=True,
+                                block_rows=4)
+    for a, b in zip(f1, f4):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    assert [int(x) for x in s1] == [int(x) for x in s4]

@@ -233,6 +233,24 @@ def bench_pallas(quick):
     return (t_long - t_short) * B / max(w_l - w_s, 1e-9)
 
 
+def bench_pallas_alt(quick):
+    """Fused alternating-turn rollout (single-mover ticks).  The tick is
+    ~2.6x cheaper than the simultaneous game's, so the slope needs a wider
+    baseline (2k->20k is noise-dominated on the tunneled relay)."""
+    from gym_soccer_tpu.ops.step_kernel import pallas_alt_rollout
+    B = 8192
+    t_short, t_long = (1000, 5000) if quick else (2000, 60000)
+
+    def measure(T):
+        def run():
+            _, st = pallas_alt_rollout(CFG, jnp.int32(1), B, T)
+            fetch(st[1])
+        return timed(run, n=5)
+
+    w_s, w_l = measure(t_short), measure(t_long)
+    return (t_long - t_short) * B / max(w_l - w_s, 1e-9)
+
+
 def bench_table_build(quick):
     """Native C++ transition-table build — 11x7 grid (reference: 35.7 s),
     or 5x4 under --quick.  Returns dense transition entries built per
@@ -264,6 +282,7 @@ def main():
         ("parity_bit_exact", bench_parity),
         ("parity_kernel_fused", bench_parity_kernel),
         ("pallas_fused", bench_pallas),
+        ("pallas_alt_fused", bench_pallas_alt),
         ("table_build_native", bench_table_build),
     ]
     for name, fn in rowspec:
