@@ -1,0 +1,46 @@
+"""The shipped examples run end-to-end (subprocess smoke; the demos ARE
+the reference main() equivalent and the alternating capability demo, so
+CI proves the user-facing entry points, not just the library)."""
+import json
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FORCE_CPU = ("import jax; jax.config.update('jax_platforms', 'cpu'); "
+             "import sys, runpy; sys.argv = sys.argv[1:]; "
+             "runpy.run_path(sys.argv[0], run_name='__main__')")
+
+
+def _run(script, *args):
+    out = subprocess.run(
+        [sys.executable, "-c", FORCE_CPU, os.path.join(ROOT, script), *args],
+        capture_output=True, text=True, timeout=600, cwd=ROOT)
+    assert out.returncode == 0, out.stderr[-2000:]
+    return out.stdout
+
+
+def _events(stdout):
+    return {e.get("event", e.get("phase")): e
+            for e in (json.loads(ln) for ln in stdout.splitlines()
+                      if ln.startswith("{"))}
+
+
+def test_demo_main_equivalent():
+    """examples/demo.py reproduces the reference main() contract: all
+    four planners agree (asserted inside the demo) and the VI policy's
+    1000-episode eval wins every game vs the frozen random opponent."""
+    stdout = _run("examples/demo.py")
+    line = [ln for ln in stdout.splitlines()
+            if ln.startswith("All 1000 episodes finished")]
+    assert line, stdout[-1000:]
+    avg_reward = float(line[0].split("average reward ")[1].split(" ")[0])
+    assert avg_reward > 0.9
+    assert "eval_1000_episodes" in _events(stdout)
+
+
+def test_alternating_demo():
+    events = _events(_run("examples/alternating_demo.py", "--quick"))
+    assert events["tables"]["nS"] == 1521
+    assert events["best_response_vs_random"]["losses"] == 0
+    assert events["best_response_vs_random"]["win_rate"] > 0.95
