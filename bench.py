@@ -58,22 +58,26 @@ def _jax():
 
 def bench_pallas():
     """Slope methodology: median wall time (host value fetch as barrier)
-    at two kernel lengths; throughput = d(steps)/d(wall).  T capped at
-    20k — longer-running kernels wedge this environment's relay."""
+    at two rollout lengths; throughput = d(steps)/d(wall).  Long legs run
+    as CHAINED dispatches of <=10k fused steps (single pallas calls
+    beyond ~20k wedge this environment's relay; chaining is async-
+    pipelined, so it costs nothing measurable)."""
     import numpy as np
     jax = _jax()
     from gym_soccer_tpu.config import EnvConfig
-    from gym_soccer_tpu.ops.step_kernel import pallas_rollout
+    from gym_soccer_tpu.ops.step_kernel import pallas_rollout_chained
     cfg = EnvConfig(width=5, height=4, slip_prob=0.2)
 
     def measure(T_k, n=8):
-        _, st = pallas_rollout(cfg, jax.numpy.int32(0), B, T_k)
-        int(np.asarray(st[1]))  # warmup + compile
+        def run(seed):
+            _, st = pallas_rollout_chained(cfg, jax.numpy.int32(seed), B,
+                                           T_k, steps_per_call=10000)
+            int(np.asarray(st[1]))
+        run(0)  # warmup + compile
         ws = []
         for i in range(n):
             t0 = time.perf_counter()
-            _, st = pallas_rollout(cfg, jax.numpy.int32(i + 1), B, T_k)
-            int(np.asarray(st[1]))
+            run(i + 1)
             ws.append(time.perf_counter() - t0)
         return sorted(ws)[n // 2]
 

@@ -446,9 +446,17 @@ def altq_step(cfg: EnvConfig, lcfg: AltQConfig, state: AltQState,
     V(s') = max_a Q[s'] at A-to-move states and min_a Q[s'] at
     B-to-move states — Q-learning on the exact minimax Bellman operator
     of `alt_value_iteration`, so the fixpoint is the game's value.
-    Behavior is eps-greedy for the mover (A argmax / B argmin);
+    Behavior is eps-greedy for the mover (A argmax / B argmin).
     ``frozen_a``/``frozen_b`` clamp that side's moves to an int [nS]
-    policy and leave its turns' rows out of the update."""
+    policy (no exploration on frozen turns) and switch the bootstrap at
+    that side's next states from min/max to Q[s', frozen[s']] — the
+    frozen side is not playing minimax, so the backup must follow its
+    actual reply.  Frozen-turn rows keep being updated (with the clamped
+    action) so that Q[s', frozen[s']] is learned and value propagates
+    through opponent turns; the fixpoint is the best-response value of
+    `alt_value_iteration(frozen_*=...)` — the alternating analogue of
+    the reference's VI-vs-frozen-policy usage
+    (soccer_simultaneous_env.py:518-530)."""
     from ..core import batch as corebatch
     from ..envs import soccer_alternating_env as alt
     tb = alt.build_alt_tables(cfg)
@@ -471,27 +479,32 @@ def altq_step(cfg: EnvConfig, lcfg: AltQConfig, state: AltQState,
                        jnp.argmin(qrow, axis=-1)).astype(jnp.int32)
     rand = (u[1] * N_ACTIONS).astype(jnp.int32) % N_ACTIONS
     a = jnp.where(u[0] < lcfg.eps, rand, greedy)
-    learn_w = jnp.ones_like(u[0])
-    if frozen_a is not None:
-        a = jnp.where(mover_is_a, jnp.asarray(frozen_a)[obs], a)
-        learn_w = jnp.where(mover_is_a, 0.0, learn_w)
-    if frozen_b is not None:
-        a = jnp.where(mover_is_a, a, jnp.asarray(frozen_b)[obs])
-        learn_w = jnp.where(mover_is_a, learn_w, 0.0)
+    fa = None if frozen_a is None else jnp.asarray(frozen_a)
+    fb = None if frozen_b is None else jnp.asarray(frozen_b)
+    if fa is not None:
+        a = jnp.where(mover_is_a, fa[obs], a)
+    if fb is not None:
+        a = jnp.where(mover_is_a, a, fb[obs])
 
     mid, (reward_a, goal, trunc) = alt.alt_step(cfg, st, a, autoreset=False)
     final_obs = dense_obs(mid)
     term = goal | trunc
     cont = jnp.where(term, 0.0, 1.0)
-    vnext = jnp.where(turn_of[final_obs] == 0,
-                      state.q[final_obs].max(-1), state.q[final_obs].min(-1))
+    next_is_a = turn_of[final_obs] == 0
+    # Bootstrap: minimax (max at A-to-move, min at B-to-move) — except a
+    # frozen side, whose reply is known: V(s') = Q[s', frozen[s']].
+    v_a = (state.q[final_obs].max(-1) if fa is None
+           else state.q[final_obs, fa[final_obs]])
+    v_b = (state.q[final_obs].min(-1) if fb is None
+           else state.q[final_obs, fb[final_obs]])
+    vnext = jnp.where(next_is_a, v_a, v_b)
     tgt = reward_a + lcfg.gamma * cont * vnext
     td = tgt - state.q[obs, a]
 
-    # Count-normalized scatter update (see iql_step); frozen-side turns
-    # carry weight 0 so their rows stay untouched.
-    sum_td = jnp.zeros_like(state.q).at[obs, a].add(td * learn_w)
-    cnt = jnp.zeros_like(state.q).at[obs, a].add(learn_w)
+    # Count-normalized scatter update (see iql_step); frozen turns update
+    # their clamped-action entry so the bootstrap above has real values.
+    sum_td = jnp.zeros_like(state.q).at[obs, a].add(td)
+    cnt = jnp.zeros_like(state.q).at[obs, a].add(1.0)
     if psum_axis is not None:
         sum_td = jax.lax.psum(sum_td, psum_axis)
         cnt = jax.lax.psum(cnt, psum_axis)
@@ -499,7 +512,7 @@ def altq_step(cfg: EnvConfig, lcfg: AltQConfig, state: AltQState,
 
     env2 = alt.alt_reset_where(cfg, mid, term)
     new = AltQState(q=q, env=env2, step=state.step + 1)
-    return new, jnp.abs(td * learn_w).sum() / jnp.maximum(learn_w.sum(), 1.0)
+    return new, jnp.abs(td).mean()
 
 
 def altq_train(cfg: EnvConfig, lcfg: AltQConfig, state: AltQState,

@@ -354,6 +354,7 @@ class SoccerAlternatingEnv:
 
     NOOP, NORTH, SOUTH, EAST, WEST = 0, 1, 2, 3, 4
     ACTION_STRING = ['NOOP', 'NORTH', 'SOUTH', 'EAST', 'WEST']
+    TERMINAL_STATE = (-1, -1, -1, -1, -1, -1)
 
     def __init__(self, width=5, height=4, slip_prob=0.0, seed=0,
                  first_mover=0, max_steps=100):
@@ -399,21 +400,26 @@ class SoccerAlternatingEnv:
     def nS(self) -> int:
         return self.tables.nS
 
-    @property
+    @functools.cached_property
     def state_space(self):
         """(xa, ya, xb, yb, p, turn) tuple -> dense index, like the
-        simultaneous facade's state_space dict."""
+        simultaneous facade's state_space dict (including the
+        TERMINAL_STATE -> 0 entry).  Built once and cached — per-step
+        access is O(1), like the simultaneous facade's _P view."""
         tb = self.tables
-        return {tuple(int(v) for v in tb.fields[s]): s
-                for s in range(1, tb.nS)}
+        out = {self.TERMINAL_STATE: 0}
+        out.update({tuple(int(v) for v in tb.fields[s]): s
+                    for s in range(1, tb.nS)})
+        return out
 
-    @property
+    @functools.cached_property
     def P(self):
         """Reference-prototype-style transition dict view
         (soccer_alternating_env.py:100-130 exposes P): P[s][a] ->
         ordered [(prob, next_dense, reward_a, done)], zero-probability
         slip slots dropped (like the simultaneous env drops
-        zero-probability combos, soccer_simultaneous_env.py:226-227)."""
+        zero-probability combos, soccer_simultaneous_env.py:226-227).
+        Built once and cached."""
         tb = self.tables
         out = {}
         for s in range(tb.nS):

@@ -35,7 +35,23 @@ from ..config import EnvConfig
 LANES = 128
 
 
-def _in_goal_rows(x, cfg: EnvConfig):
+class GeoPlanes:
+    """Per-lane geometry as int32 planes — duck-types EnvConfig inside the
+    kernel helpers (which are all elementwise, so static ints and planes
+    are interchangeable).  This is what makes the MULTIGRID kernel one
+    compilation for any mixture of board geometries (BASELINE config 4):
+    geometry is data, not code."""
+
+    def __init__(self, H, W, glo, ghi, q_int, max_steps: int):
+        self.H, self.W = H, W
+        self.glo, self.ghi = glo, ghi        # inclusive goal-row range
+        self.q_int = q_int                    # round(slip * 65536)
+        self.max_steps = max_steps            # static (shared across lanes)
+
+
+def _in_goal_rows(x, cfg):
+    if isinstance(cfg, GeoPlanes):
+        return (x >= cfg.glo) & (x <= cfg.ghi)
     m = x == cfg.goal_rows[0]
     for r in cfg.goal_rows[1:]:
         m = m | (x == r)
@@ -173,16 +189,38 @@ def transition_core(ra, ca, rb, cb, p, aa, ab, bits1, bits2,
     return nra, nca, nrb, ncb, npz, goal, r
 
 
+def _isd_fields_arith(idx, H, W):
+    """Initial state fields from the geometry, arithmetically (the kernel
+    twin of core/multigrid._isd_fields — reference _generate_isd,
+    soccer_simultaneous_env.py:146-165).  ``idx`` uniform in [0, 4) for
+    even-H boards, [0, 2) for odd-H."""
+    even = (H % 2) == 0
+    mid_hi = H // 2
+    mid_lo = (H - 1) // 2
+    swap = (idx // 2) == 1
+    ira = jnp.where(even & swap, mid_hi, mid_lo)
+    irb = jnp.where(even & swap, mid_lo, mid_hi)
+    ip = idx % 2
+    ica = jnp.full_like(ira, 2)
+    icb = W - 3
+    return ira, ica, irb, icb, ip
+
+
 def autoreset_core(nra, nca, nrb, ncb, npz, t, goal, bits2,
-                   cfg: EnvConfig):
+                   cfg):
     """Truncation + uniform-ISD autoreset; returns updated fields, t,
-    trunc flag."""
+    trunc flag.  ``cfg`` is a static EnvConfig or per-lane GeoPlanes."""
     t = t + 1
     trunc = (t >= cfg.max_steps) & ~goal
     term = goal | trunc
-    nI = 4 if len(cfg.goal_rows) % 2 == 0 else 2
-    isd_idx = _u16(bits2, 1) % nI
-    ira, ica, irb, icb, ip = _isd_lookup(isd_idx, cfg)
+    if isinstance(cfg, GeoPlanes):
+        n_entries = jnp.where((cfg.H % 2) == 0, 4, 2)
+        isd_idx = _u16(bits2, 1) % n_entries    # exact: 65536 % {2,4} == 0
+        ira, ica, irb, icb, ip = _isd_fields_arith(isd_idx, cfg.H, cfg.W)
+    else:
+        nI = 4 if len(cfg.goal_rows) % 2 == 0 else 2
+        isd_idx = _u16(bits2, 1) % nI
+        ira, ica, irb, icb, ip = _isd_lookup(isd_idx, cfg)
     nra = jnp.where(term, ira, nra)
     nca = jnp.where(term, ica, nca)
     nrb = jnp.where(term, irb, nrb)
@@ -209,6 +247,7 @@ def _rollout_kernel(seed_ref, ra_ref, ca_ref, rb_ref, cb_ref, p_ref, t_ref,
                     ora, oca, orb, ocb, op, ot, stats_ref,
                     *, cfg: EnvConfig, n_steps: int, q_int: int):
     seed = seed_ref[0].astype(jnp.uint32)
+    off = seed_ref[1]  # absolute step offset (chained dispatch)
     shape = ra_ref.shape
     rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
     cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
@@ -219,9 +258,9 @@ def _rollout_kernel(seed_ref, ra_ref, ca_ref, rb_ref, cb_ref, p_ref, t_ref,
                 + rows * jnp.uint32(shape[1]) + cols)
 
     def body(i, carry):
-        bits0 = _random_word(seed, i, 0, lane_ctr)
-        bits1 = _random_word(seed, i, 1, lane_ctr)
-        bits2 = _random_word(seed, i, 2, lane_ctr)
+        bits0 = _random_word(seed, i + off, 0, lane_ctr)
+        bits1 = _random_word(seed, i + off, 1, lane_ctr)
+        bits2 = _random_word(seed, i + off, 2, lane_ctr)
         return _step_once(carry, bits0, bits1, bits2, cfg, q_int)
 
     zeros = jnp.zeros(shape, jnp.int32)
@@ -241,14 +280,18 @@ def _rollout_kernel(seed_ref, ra_ref, ca_ref, rb_ref, cb_ref, p_ref, t_ref,
                                     "block_rows"))
 def pallas_rollout(cfg: EnvConfig, seed: jax.Array, batch: int,
                    n_steps: int, interpret: bool = False,
-                   block_rows: int | None = None):
+                   block_rows: int | None = None,
+                   init_fields=None, step_offset=0):
     """Run `n_steps` of random-vs-random self-play for `batch` envs fully
     on-chip.  Returns (final_state_fields, (reward_sum, goals, truncs)).
 
     `batch` must be a multiple of 1024 (tiled as [batch/128, 128] int32).
     ``block_rows`` overrides the batch-block height (testing hook); the
     counter PRNG is keyed on GLOBAL lane id, so results are bit-invariant
-    to the blocking.
+    to the blocking.  ``init_fields``/``step_offset`` resume from a prior
+    call's final fields at absolute step ``step_offset`` — chaining calls
+    reproduces one long call's bit stream exactly (the PRNG counter is
+    the absolute step index); see `pallas_rollout_chained`.
     """
     assert batch % (8 * LANES) == 0, "batch must be a multiple of 1024"
     shape = (batch // LANES, LANES)
@@ -274,8 +317,12 @@ def pallas_rollout(cfg: EnvConfig, seed: jax.Array, batch: int,
     n_blocks = shape[0] // BLOCK_ROWS
     blk = (BLOCK_ROWS, LANES)
 
-    init = list(isd_spread_fields(cfg, batch, shape))
-    t0 = jnp.zeros(shape, jnp.int32)
+    if init_fields is None:
+        init = list(isd_spread_fields(cfg, batch, shape))
+        init.append(jnp.zeros(shape, jnp.int32))          # t
+    else:
+        init = [jnp.asarray(f) for f in init_fields]
+        assert len(init) == 6, "init_fields = 6 arrays (ra,ca,rb,cb,p,t)"
 
     kernel = functools.partial(_rollout_kernel, cfg=cfg, n_steps=n_steps,
                                q_int=q_int)
@@ -283,6 +330,8 @@ def pallas_rollout(cfg: EnvConfig, seed: jax.Array, batch: int,
                   [jax.ShapeDtypeStruct((n_blocks, 3), jnp.int32)])
     state_spec = pl.BlockSpec(blk, lambda b: (b, 0),
                               memory_space=pltpu.VMEM)
+    smem_in = jnp.stack([jnp.asarray(seed, jnp.int32),
+                         jnp.asarray(step_offset, jnp.int32)])
     outs = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
@@ -291,10 +340,32 @@ def pallas_rollout(cfg: EnvConfig, seed: jax.Array, batch: int,
         out_specs=tuple([state_spec] * 6 +
                         [pl.BlockSpec(memory_space=pltpu.SMEM)]),
         interpret=interpret,
-    )(jnp.asarray([seed], jnp.int32).reshape(1), *init, t0)
+    )(smem_in, *init)
     *fields, stats = outs
     stats = stats.sum(axis=0)
     return tuple(fields), (stats[0], stats[1], stats[2])
+
+
+def pallas_rollout_chained(cfg: EnvConfig, seed, batch: int, n_steps: int,
+                           steps_per_call: int = 12288,
+                           interpret: bool = False,
+                           block_rows: int | None = None):
+    """`pallas_rollout` split into chained shorter dispatches (state and
+    stats carried between calls) — bit-identical to one long call, but
+    each kernel stays under the ~20k fused-steps ceiling beyond which a
+    single pallas dispatch has wedged the tunneled relay (CLAUDE.md).
+    Use this for any leg longer than ~15k steps."""
+    fields = None
+    stats = (jnp.int32(0), jnp.int32(0), jnp.int32(0))
+    done = 0
+    while done < n_steps:
+        t = min(steps_per_call, n_steps - done)
+        fields, st = pallas_rollout(cfg, seed, batch, t, interpret=interpret,
+                                    block_rows=block_rows,
+                                    init_fields=fields, step_offset=done)
+        stats = tuple(a + b for a, b in zip(stats, st))
+        done += t
+    return fields, stats
 
 
 # ----------------------------------------------------------------------
@@ -353,6 +424,7 @@ def _alt_rollout_kernel(seed_ref, ra_ref, ca_ref, rb_ref, cb_ref, p_ref,
                         ora, oca, orb, ocb, op, oturn, ot, stats_ref,
                         *, cfg: EnvConfig, n_steps: int, q_int: int):
     seed = seed_ref[0].astype(jnp.uint32)
+    off = seed_ref[1]  # absolute step offset (chained dispatch)
     shape = ra_ref.shape
     rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
     cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
@@ -361,9 +433,9 @@ def _alt_rollout_kernel(seed_ref, ra_ref, ca_ref, rb_ref, cb_ref, p_ref,
                 + rows * jnp.uint32(shape[1]) + cols)
 
     def body(i, carry):
-        bits0 = _random_word(seed, i, 0, lane_ctr)
-        bits1 = _random_word(seed, i, 1, lane_ctr)
-        bits2 = _random_word(seed, i, 2, lane_ctr)
+        bits0 = _random_word(seed, i + off, 0, lane_ctr)
+        bits1 = _random_word(seed, i + off, 1, lane_ctr)
+        bits2 = _random_word(seed, i + off, 2, lane_ctr)
         return _alt_step_once(carry, bits0, bits1, bits2, cfg, q_int)
 
     zeros = jnp.zeros(shape, jnp.int32)
@@ -384,10 +456,11 @@ def _alt_rollout_kernel(seed_ref, ra_ref, ca_ref, rb_ref, cb_ref, p_ref,
                                     "block_rows"))
 def pallas_alt_rollout(cfg: EnvConfig, seed: jax.Array, batch: int,
                        n_steps: int, interpret: bool = False,
-                       block_rows: int | None = None):
+                       block_rows: int | None = None,
+                       init_fields=None, step_offset=0):
     """Fused random-play rollout of the ALTERNATING-turn game: `n_steps`
     single-mover ticks for `batch` envs fully on-chip (same VMEM/blocking/
-    counter-PRNG scheme as `pallas_rollout`).  Returns
+    counter-PRNG/chaining scheme as `pallas_rollout`).  Returns
     (final fields (ra, ca, rb, cb, p, turn, t), (reward_sum, goals,
     truncs))."""
     assert batch % (8 * LANES) == 0, "batch must be a multiple of 1024"
@@ -406,9 +479,14 @@ def pallas_alt_rollout(cfg: EnvConfig, seed: jax.Array, batch: int,
     n_blocks = shape[0] // BLOCK_ROWS
     blk = (BLOCK_ROWS, LANES)
 
-    init = list(isd_spread_fields(cfg, batch, shape))
-    turn0 = jnp.zeros(shape, jnp.int32)
-    t0 = jnp.zeros(shape, jnp.int32)
+    if init_fields is None:
+        init = list(isd_spread_fields(cfg, batch, shape))
+        init.append(jnp.zeros(shape, jnp.int32))          # turn
+        init.append(jnp.zeros(shape, jnp.int32))          # t
+    else:
+        init = [jnp.asarray(f) for f in init_fields]
+        assert len(init) == 7, \
+            "init_fields = 7 arrays (ra,ca,rb,cb,p,turn,t)"
 
     kernel = functools.partial(_alt_rollout_kernel, cfg=cfg,
                                n_steps=n_steps, q_int=q_int)
@@ -416,6 +494,8 @@ def pallas_alt_rollout(cfg: EnvConfig, seed: jax.Array, batch: int,
                   [jax.ShapeDtypeStruct((n_blocks, 3), jnp.int32)])
     state_spec = pl.BlockSpec(blk, lambda b: (b, 0),
                               memory_space=pltpu.VMEM)
+    smem_in = jnp.stack([jnp.asarray(seed, jnp.int32),
+                         jnp.asarray(step_offset, jnp.int32)])
     outs = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
@@ -424,7 +504,28 @@ def pallas_alt_rollout(cfg: EnvConfig, seed: jax.Array, batch: int,
         out_specs=tuple([state_spec] * 7 +
                         [pl.BlockSpec(memory_space=pltpu.SMEM)]),
         interpret=interpret,
-    )(jnp.asarray([seed], jnp.int32).reshape(1), *init, turn0, t0)
+    )(smem_in, *init)
     *fields, stats = outs
     stats = stats.sum(axis=0)
     return tuple(fields), (stats[0], stats[1], stats[2])
+
+
+def pallas_alt_rollout_chained(cfg: EnvConfig, seed, batch: int,
+                               n_steps: int, steps_per_call: int = 12288,
+                               interpret: bool = False,
+                               block_rows: int | None = None):
+    """`pallas_alt_rollout` split into chained shorter dispatches —
+    bit-identical to one long call; see `pallas_rollout_chained` for the
+    relay-wedge rationale."""
+    fields = None
+    stats = (jnp.int32(0), jnp.int32(0), jnp.int32(0))
+    done = 0
+    while done < n_steps:
+        t = min(steps_per_call, n_steps - done)
+        fields, st = pallas_alt_rollout(cfg, seed, batch, t,
+                                        interpret=interpret,
+                                        block_rows=block_rows,
+                                        init_fields=fields, step_offset=done)
+        stats = tuple(a + b for a, b in zip(stats, st))
+        done += t
+    return fields, stats

@@ -157,23 +157,49 @@ def test_alternating_q_learner_converges_to_minimax_values():
 
 
 def test_alternating_q_learner_frozen_opponent():
-    """Freezing one side clamps its moves and leaves its turns' rows out
-    of the update (the alternating analogue of iql frozen mode)."""
-    from gym_soccer_tpu.envs.soccer_alternating_env import build_alt_tables
+    """Freezing one side clamps its moves (no exploration on its turns),
+    bootstraps B-to-move next states with Q[s', frozen[s']] instead of
+    min, and keeps updating the clamped entry — so value propagates
+    through opponent turns and the learner approaches the exact
+    best-response values of alt_value_iteration(frozen_b=...)."""
+    from gym_soccer_tpu.envs.soccer_alternating_env import (
+        alt_value_iteration, build_alt_tables)
     cfg = EnvConfig(5, 4, 0.2)
     tb = build_alt_tables(cfg)
     stand = np.zeros(tb.nS, dtype=np.int32)
-    st = jax.jit(lambda k: learners.altq_init(cfg, k, 64))(jax.random.key(1))
-    lcfg = learners.AltQConfig(lr=0.2, gamma=0.99, eps=0.3)
-    train = jax.jit(lambda s: learners.altq_train(cfg, lcfg, s, 500,
-                                                  frozen_b=stand))
-    st2, _ = jax.block_until_ready(train(st))
-    q = np.asarray(st2.q)
-    # B-to-move rows (except terminal 0) received no updates
-    b_rows = (np.asarray(tb.turn) == 1)
+    _, V_br, _, _ = alt_value_iteration(tb, frozen_b=stand)
+
+    st = jax.jit(lambda k: learners.altq_init(cfg, k, 256))(jax.random.key(1))
+    for lr, eps, n in [(0.25, 0.3, 12000), (0.08, 0.15, 12000)]:
+        lcfg = learners.AltQConfig(lr=lr, gamma=0.99, eps=eps)
+        train = jax.jit(lambda s, c=lcfg: learners.altq_train(
+            cfg, c, s, n, frozen_b=stand))
+        st, _ = jax.block_until_ready(train(st))
+
+    q = np.asarray(st.q)
+    turn = np.asarray(tb.turn)
+    # B turns never explore: only the clamped (NOOP) column is touched.
+    b_rows = (turn == 1)
     b_rows[0] = False
-    assert (q[b_rows] == 0.0).all()
-    assert (q != 0.0).any()
+    assert (q[b_rows][:, 1:] == 0.0).all()
+    assert (q[b_rows][:, 0] != 0.0).any(), "frozen rows must learn"
+    # The learned values track the exact best response on the states the
+    # behavior distribution visits (a standing B pins most B-positions
+    # out of reach; unvisited rows legitimately stay 0).  With a severed
+    # bootstrap (the pre-fix bug) this error stays ~0.4.
+    visited = (q != 0.0).any(-1)
+    visited[0] = False
+    assert visited.sum() > 50, "behavior must visit a real state set"
+    V_l = np.where(turn == 0, q.max(-1), q[np.arange(tb.nS), stand])
+    err = np.abs(V_l - np.asarray(V_br))[visited]
+    assert err.mean() < 0.08, f"mean |V - V_br| {err.mean():.3f}"
+    # And the learned greedy policy must actually beat the frozen
+    # opponent (value propagated back to the start states).
+    from gym_soccer_tpu.envs.soccer_alternating_env import alt_policy_rollout
+    pol = np.asarray(learners.altq_greedy_policy(cfg, st.q))
+    w, l, tr = alt_policy_rollout(cfg, tb.raw_to_dense, pol, stand,
+                                  batch=128, steps=300, seed=3)
+    assert w > 0 and w / max(w + l, 1) > 0.95, (w, l, tr)
 
 
 def test_alternating_sharded_training_matches_single_device():

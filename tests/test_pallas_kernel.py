@@ -71,6 +71,30 @@ def test_blocking_invariance():
     assert [int(x) for x in stats1] == [int(x) for x in stats4]
 
 
+def test_chained_dispatch_matches_single_call():
+    """Chaining shorter kernel calls (relay-wedge safety for long bench
+    legs) is bit-identical to one long call: the PRNG counter is the
+    absolute step index and state/stats carry across calls."""
+    from gym_soccer_tpu.ops.step_kernel import pallas_rollout_chained
+    f1, s1 = pallas_rollout(CFG, jnp.int32(5), 1024, 100, interpret=True)
+    fc, sc = pallas_rollout_chained(CFG, jnp.int32(5), 1024, 100,
+                                    steps_per_call=32, interpret=True)
+    for a, b in zip(f1, fc):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    assert [int(x) for x in s1] == [int(x) for x in sc]
+
+
+def test_alt_chained_dispatch_matches_single_call():
+    from gym_soccer_tpu.ops.step_kernel import (pallas_alt_rollout,
+                                                pallas_alt_rollout_chained)
+    f1, s1 = pallas_alt_rollout(CFG, jnp.int32(5), 1024, 100, interpret=True)
+    fc, sc = pallas_alt_rollout_chained(CFG, jnp.int32(5), 1024, 100,
+                                        steps_per_call=32, interpret=True)
+    for a, b in zip(f1, fc):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    assert [int(x) for x in s1] == [int(x) for x in sc]
+
+
 # ----------------------------------------------------------------------
 # Alternating-turn fused rollout
 # ----------------------------------------------------------------------

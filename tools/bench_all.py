@@ -219,13 +219,16 @@ def bench_parity_kernel(quick):
 
 
 def bench_pallas(quick):
-    from gym_soccer_tpu.ops.step_kernel import pallas_rollout
+    """Fused simultaneous rollout, chained dispatches (<=10k fused steps
+    per pallas call — single calls beyond ~20k wedge the relay)."""
+    from gym_soccer_tpu.ops.step_kernel import pallas_rollout_chained
     B = 8192
     t_short, t_long = (1000, 5000) if quick else (2000, 20000)
 
     def measure(T):
         def run():
-            _, st = pallas_rollout(CFG, jnp.int32(1), B, T)
+            _, st = pallas_rollout_chained(CFG, jnp.int32(1), B, T,
+                                           steps_per_call=10000)
             fetch(st[1])
         return timed(run, n=5)
 
@@ -236,14 +239,17 @@ def bench_pallas(quick):
 def bench_pallas_alt(quick):
     """Fused alternating-turn rollout (single-mover ticks).  The tick is
     ~2.6x cheaper than the simultaneous game's, so the slope needs a wider
-    baseline (2k->20k is noise-dominated on the tunneled relay)."""
-    from gym_soccer_tpu.ops.step_kernel import pallas_alt_rollout
+    baseline (2k->20k is noise-dominated on the tunneled relay); the long
+    leg is CHAINED shorter dispatches so no single pallas call exceeds the
+    documented ~20k fused-step relay-wedge ceiling."""
+    from gym_soccer_tpu.ops.step_kernel import pallas_alt_rollout_chained
     B = 8192
     t_short, t_long = (1000, 5000) if quick else (2000, 60000)
 
     def measure(T):
         def run():
-            _, st = pallas_alt_rollout(CFG, jnp.int32(1), B, T)
+            _, st = pallas_alt_rollout_chained(CFG, jnp.int32(1), B, T,
+                                               steps_per_call=12000)
             fetch(st[1])
         return timed(run, n=5)
 
