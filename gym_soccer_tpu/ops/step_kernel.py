@@ -189,19 +189,20 @@ def transition_core(ra, ca, rb, cb, p, aa, ab, bits1, bits2,
     return nra, nca, nrb, ncb, npz, goal, r
 
 
-def _isd_fields_arith(idx, H, W):
+def _isd_fields_arith(idx, H, W, xp=jnp):
     """Initial state fields from the geometry, arithmetically (the kernel
     twin of core/multigrid._isd_fields — reference _generate_isd,
     soccer_simultaneous_env.py:146-165).  ``idx`` uniform in [0, 4) for
-    even-H boards, [0, 2) for odd-H."""
+    even-H boards, [0, 2) for odd-H.  (For odd H the two middle-row
+    formulas coincide: H//2 == (H-1)//2.)"""
     even = (H % 2) == 0
     mid_hi = H // 2
     mid_lo = (H - 1) // 2
     swap = (idx // 2) == 1
-    ira = jnp.where(even & swap, mid_hi, mid_lo)
-    irb = jnp.where(even & swap, mid_lo, mid_hi)
+    ira = xp.where(even & swap, mid_hi, mid_lo)
+    irb = xp.where(even & swap, mid_lo, mid_hi)
     ip = idx % 2
-    ica = jnp.full_like(ira, 2)
+    ica = xp.full_like(ira, 2)
     icb = W - 3
     return ira, ica, irb, icb, ip
 
@@ -508,6 +509,158 @@ def pallas_alt_rollout(cfg: EnvConfig, seed: jax.Array, batch: int,
     *fields, stats = outs
     stats = stats.sum(axis=0)
     return tuple(fields), (stats[0], stats[1], stats[2])
+
+
+# ----------------------------------------------------------------------
+# Multigrid fused rollout: a MIXTURE of geometries in one kernel
+# (BASELINE config 4 at pallas speed — the kernel twin of core/multigrid)
+# ----------------------------------------------------------------------
+
+def _mg_rollout_kernel(seed_ref, h_ref, w_ref, glo_ref, ghi_ref, q_ref,
+                       vid_ref, ra_ref, ca_ref, rb_ref, cb_ref, p_ref, t_ref,
+                       ora, oca, orb, ocb, op, ot, stats_ref,
+                       *, n_steps: int, n_variants: int, max_steps: int):
+    seed = seed_ref[0].astype(jnp.uint32)
+    off = seed_ref[1]
+    shape = ra_ref.shape
+    rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    block = pl.program_id(0).astype(jnp.uint32)
+    lane_ctr = (block * jnp.uint32(shape[0] * shape[1])
+                + rows * jnp.uint32(shape[1]) + cols)
+
+    geo = GeoPlanes(H=h_ref[:], W=w_ref[:], glo=glo_ref[:], ghi=ghi_ref[:],
+                    q_int=q_ref[:], max_steps=max_steps)
+
+    def body(i, carry):
+        bits0 = _random_word(seed, i + off, 0, lane_ctr)
+        bits1 = _random_word(seed, i + off, 1, lane_ctr)
+        bits2 = _random_word(seed, i + off, 2, lane_ctr)
+        return _step_once(carry, bits0, bits1, bits2, geo, geo.q_int)
+
+    zeros = jnp.zeros(shape, jnp.int32)
+    carry = (ra_ref[:], ca_ref[:], rb_ref[:], cb_ref[:], p_ref[:], t_ref[:],
+             zeros, zeros, zeros)
+    carry = jax.lax.fori_loop(0, n_steps, body, carry)
+    ra, ca, rb, cb, p, t, rew, goals, truncs = carry
+    ora[:], oca[:], orb[:], ocb[:], op[:], ot[:] = ra, ca, rb, cb, p, t
+    b = pl.program_id(0)
+    vid = vid_ref[:]
+    for v in range(n_variants):   # static unroll: per-variant masked sums
+        m = (vid == v).astype(jnp.int32)
+        stats_ref[b, v, 0] = jnp.sum(rew * m)
+        stats_ref[b, v, 1] = jnp.sum(goals * m)
+        stats_ref[b, v, 2] = jnp.sum(truncs * m)
+
+
+def _mg_planes(cfgs, batch: int, shape):
+    """Host-side per-lane geometry planes + arithmetic-ISD-spread initial
+    state (round-robin variant assignment, matching
+    core/multigrid.lane_geometry)."""
+    import numpy as np
+    nV = len(cfgs)
+    idx = np.arange(batch, dtype=np.int64) % nV
+    H = np.asarray([c.H for c in cfgs], np.int32)[idx]
+    W = np.asarray([c.W for c in cfgs], np.int32)[idx]
+    glo = np.asarray([c.goal_row_bounds[0] for c in cfgs], np.int32)[idx]
+    ghi = np.asarray([c.goal_row_bounds[1] for c in cfgs], np.int32)[idx]
+    q = np.asarray([int(round(c.slip_prob * 65536)) for c in cfgs],
+                   np.int32)[idx]
+    vid = idx.astype(np.int32)
+
+    n_entries = np.where(H % 2 == 0, 4, 2)
+    isd = (np.arange(batch, dtype=np.int64) // nV) % n_entries
+    ira, ica, irb, icb, ip = _isd_fields_arith(isd.astype(np.int32),
+                                               H, W, xp=np)
+    planes = [H, W, glo, ghi, q, vid]
+    init = [np.asarray(a, np.int32) for a in (ira, ica, irb, icb, ip)]
+    return ([jnp.asarray(p.reshape(shape)) for p in planes],
+            [jnp.asarray(f.reshape(shape)) for f in init])
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfgs", "n_steps", "batch", "interpret",
+                                    "block_rows"))
+def pallas_multigrid_rollout(cfgs: tuple, seed: jax.Array, batch: int,
+                             n_steps: int, interpret: bool = False,
+                             block_rows: int | None = None,
+                             init_fields=None, step_offset=0):
+    """Fused random-vs-random rollout over a MIXED-geometry batch: board
+    height/width, goal-row range and slip probability are per-lane int32
+    PLANES (GeoPlanes), so ONE compiled kernel steps any mixture of
+    Littman-soccer variants at full pallas speed — the kernel twin of
+    core/multigrid.step (BASELINE config 4).  Lanes are assigned variants
+    round-robin (lane i -> cfgs[i % len(cfgs)]).
+
+    Returns (final fields (ra, ca, rb, cb, p, t),
+    per-variant stats int32 [len(cfgs), 3] = (reward_sum, goals, truncs)).
+    Chaining via (init_fields, step_offset) as in `pallas_rollout`."""
+    assert batch % (8 * LANES) == 0, "batch must be a multiple of 1024"
+    assert len({c.max_steps for c in cfgs}) == 1, \
+        "variants must share max_steps (truncation plane otherwise)"
+    shape = (batch // LANES, LANES)
+
+    if block_rows:
+        if shape[0] % block_rows:
+            raise ValueError(
+                f"block_rows={block_rows} does not divide the batch's "
+                f"{shape[0]} rows")
+        BLOCK_ROWS = block_rows
+    else:
+        cap = min(shape[0], 32768 // LANES)
+        BLOCK_ROWS = next(r for r in range(cap, 0, -1) if shape[0] % r == 0)
+    n_blocks = shape[0] // BLOCK_ROWS
+    blk = (BLOCK_ROWS, LANES)
+
+    planes, isd_init = _mg_planes(cfgs, batch, shape)
+    if init_fields is None:
+        init = isd_init + [jnp.zeros(shape, jnp.int32)]       # t
+    else:
+        init = [jnp.asarray(f) for f in init_fields]
+        assert len(init) == 6, "init_fields = 6 arrays (ra,ca,rb,cb,p,t)"
+
+    nV = len(cfgs)
+    kernel = functools.partial(_mg_rollout_kernel, n_steps=n_steps,
+                               n_variants=nV,
+                               max_steps=cfgs[0].max_steps)
+    out_shapes = ([jax.ShapeDtypeStruct(shape, jnp.int32)] * 6 +
+                  [jax.ShapeDtypeStruct((n_blocks, nV, 3), jnp.int32)])
+    state_spec = pl.BlockSpec(blk, lambda b: (b, 0),
+                              memory_space=pltpu.VMEM)
+    smem_in = jnp.stack([jnp.asarray(seed, jnp.int32),
+                         jnp.asarray(step_offset, jnp.int32)])
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        out_shape=tuple(out_shapes),
+        in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)]
+                  + [state_spec] * 12),
+        out_specs=tuple([state_spec] * 6 +
+                        [pl.BlockSpec(memory_space=pltpu.SMEM)]),
+        interpret=interpret,
+    )(smem_in, *planes, *init)
+    *fields, stats = outs
+    return tuple(fields), stats.sum(axis=0)
+
+
+def pallas_multigrid_rollout_chained(cfgs: tuple, seed, batch: int,
+                                     n_steps: int,
+                                     steps_per_call: int = 12288,
+                                     interpret: bool = False,
+                                     block_rows: int | None = None):
+    """`pallas_multigrid_rollout` as chained shorter dispatches — see
+    `pallas_rollout_chained`."""
+    fields = None
+    stats = jnp.zeros((len(cfgs), 3), jnp.int32)
+    done = 0
+    while done < n_steps:
+        t = min(steps_per_call, n_steps - done)
+        fields, st = pallas_multigrid_rollout(
+            cfgs, seed, batch, t, interpret=interpret,
+            block_rows=block_rows, init_fields=fields, step_offset=done)
+        stats = stats + st
+        done += t
+    return fields, stats
 
 
 def pallas_alt_rollout_chained(cfg: EnvConfig, seed, batch: int,

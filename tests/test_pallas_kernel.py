@@ -158,3 +158,106 @@ def test_alt_kernel_blocking_invariance():
     for a, b in zip(f1, f4):
         assert np.array_equal(np.asarray(a), np.asarray(b))
     assert [int(x) for x in s1] == [int(x) for x in s4]
+
+
+# ----------------------------------------------------------------------
+# Multigrid fused rollout (mixed geometries in one kernel)
+# ----------------------------------------------------------------------
+
+MG_CFGS = (EnvConfig(5, 4, 0.2), EnvConfig(6, 5, 0.1), EnvConfig(8, 6, 0.3))
+
+
+def test_multigrid_isd_arith_matches_table_builder():
+    """The kernel's arithmetic ISD enumerates exactly each variant's
+    initial-state set from core/tables.build_isd (reference
+    _generate_isd, soccer_simultaneous_env.py:146-165)."""
+    from gym_soccer_tpu.core import rules, tables
+    from gym_soccer_tpu.ops.step_kernel import _isd_fields_arith
+    for cfg in MG_CFGS + (EnvConfig(11, 7, 0.0), EnvConfig(5, 5, 0.1)):
+        _, raws = tables.build_isd(cfg)
+        expect = {tuple(int(v) for v in rules.raw_decode(np, int(r), cfg))
+                  for r in raws}
+        n = 4 if cfg.H % 2 == 0 else 2
+        idx = np.arange(n, dtype=np.int32)
+        H = np.full(n, cfg.H, np.int32)
+        W = np.full(n, cfg.W, np.int32)
+        got = {tuple(int(f[i]) for f in _isd_fields_arith(idx, H, W, xp=np))
+               for i in range(n)}
+        assert got == expect, (cfg, got, expect)
+
+
+def _mg_kernel_stats(seed, B=3072, T=400):
+    from gym_soccer_tpu.ops.step_kernel import pallas_multigrid_rollout
+    fields, stats = pallas_multigrid_rollout(MG_CFGS, jnp.int32(seed), B, T,
+                                             interpret=True)
+    return np.asarray(stats), B // len(MG_CFGS) * T, fields
+
+
+def test_multigrid_kernel_rates_match_single_grid_kernels():
+    """Per-variant goal/truncation rates from the mixed-geometry kernel
+    agree with the single-grid kernel compiled per variant."""
+    stats, n, _ = _mg_kernel_stats(0)
+    for v, cfg in enumerate(MG_CFGS):
+        _, sstats = pallas_rollout(cfg, jnp.int32(100 + v), 1024, 400,
+                                   interpret=True)
+        sn = 1024 * 400
+        g_mix, g_single = stats[v, 1] / n, int(sstats[1]) / sn
+        t_mix, t_single = stats[v, 2] / n, int(sstats[2]) / sn
+        # binomial sigma ~= 4e-4 at these n; allow 5 sigma on each side
+        assert abs(g_mix - g_single) < 0.004, (cfg, g_mix, g_single)
+        assert abs(t_mix - t_single) < 0.004, (cfg, t_mix, t_single)
+        # zero-sum play: net reward is a +-1 walk over goals
+        assert abs(stats[v, 0]) < 5 * max(np.sqrt(stats[v, 1]), 1)
+
+
+def test_multigrid_kernel_final_states_valid():
+    """Every lane ends in a reachable non-terminal state of ITS OWN
+    variant (per-variant raw_to_dense classification)."""
+    from gym_soccer_tpu.core import rules, tables
+    _, _, fields = _mg_kernel_stats(3)
+    ra, ca, rb, cb, p, t = (np.asarray(f).ravel() for f in fields)
+    vid = np.arange(ra.size) % len(MG_CFGS)
+    for v, cfg in enumerate(MG_CFGS):
+        m = vid == v
+        tb = tables.build_statespace(cfg)
+        raw = rules.raw_encode(np, ra[m], ca[m], rb[m], cb[m], p[m], cfg)
+        dense = tb.raw_to_dense[raw]
+        assert (dense > 0).all(), cfg
+        assert (t[m] >= 0).all() and (t[m] < cfg.max_steps).all()
+
+
+def test_multigrid_kernel_blocking_and_chaining_invariance():
+    from gym_soccer_tpu.ops.step_kernel import (
+        pallas_multigrid_rollout, pallas_multigrid_rollout_chained)
+    f1, s1 = pallas_multigrid_rollout(MG_CFGS, jnp.int32(7), 2048, 60,
+                                      interpret=True)
+    f4, s4 = pallas_multigrid_rollout(MG_CFGS, jnp.int32(7), 2048, 60,
+                                      interpret=True, block_rows=4)
+    fc, sc = pallas_multigrid_rollout_chained(MG_CFGS, jnp.int32(7), 2048,
+                                              60, steps_per_call=17,
+                                              interpret=True)
+    for a, b, c in zip(f1, f4, fc):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+        assert np.array_equal(np.asarray(a), np.asarray(c))
+    assert np.array_equal(np.asarray(s1), np.asarray(s4))
+    assert np.array_equal(np.asarray(s1), np.asarray(sc))
+
+
+def test_multigrid_kernel_initial_states_respect_variant_isd():
+    """A zero-step call returns the host-built initial fields: every lane
+    starts in ITS variant's ISD set."""
+    from gym_soccer_tpu.core import rules, tables
+    from gym_soccer_tpu.ops.step_kernel import pallas_multigrid_rollout
+    fields, _ = pallas_multigrid_rollout(MG_CFGS, jnp.int32(0), 1024, 0,
+                                         interpret=True)
+    ra, ca, rb, cb, p, t = (np.asarray(f).ravel() for f in fields)
+    assert (t == 0).all()
+    vid = np.arange(ra.size) % len(MG_CFGS)
+    for v, cfg in enumerate(MG_CFGS):
+        _, raws = tables.build_isd(cfg)
+        isd = {tuple(int(x) for x in rules.raw_decode(np, int(r), cfg))
+               for r in raws}
+        m = vid == v
+        lanes = set(zip(ra[m], ca[m], rb[m], cb[m], p[m]))
+        got = {tuple(int(x) for x in s) for s in lanes}
+        assert got == isd, (cfg, got, isd)

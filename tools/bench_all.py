@@ -218,6 +218,25 @@ def bench_parity_kernel(quick):
     return (e_l - e_s) * B / max(w_l - w_s, 1e-9) * (steps / (e_l * B))
 
 
+def bench_pallas_multigrid(quick):
+    """Fused MIXED-geometry rollout: 3 board variants stepped by one
+    pallas kernel with per-lane geometry planes (chained dispatches)."""
+    from gym_soccer_tpu.ops.step_kernel import pallas_multigrid_rollout_chained
+    B = 8192
+    cfgs = (EnvConfig(5, 4, 0.2), EnvConfig(6, 5, 0.1), EnvConfig(8, 6, 0.3))
+    t_short, t_long = (1000, 5000) if quick else (2000, 20000)
+
+    def measure(T):
+        def run():
+            _, st = pallas_multigrid_rollout_chained(
+                cfgs, jnp.int32(1), B, T, steps_per_call=10000)
+            fetch(st[0, 1])
+        return timed(run, n=5)
+
+    w_s, w_l = measure(t_short), measure(t_long)
+    return (t_long - t_short) * B / max(w_l - w_s, 1e-9)
+
+
 def bench_pallas(quick):
     """Fused simultaneous rollout, chained dispatches (<=10k fused steps
     per pallas call — single calls beyond ~20k wedge the relay)."""
@@ -288,6 +307,7 @@ def main():
         ("parity_bit_exact", bench_parity),
         ("parity_kernel_fused", bench_parity_kernel),
         ("pallas_fused", bench_pallas),
+        ("pallas_multigrid_fused", bench_pallas_multigrid),
         ("pallas_alt_fused", bench_pallas_alt),
         ("table_build_native", bench_table_build),
     ]
