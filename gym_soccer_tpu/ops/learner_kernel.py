@@ -59,6 +59,76 @@ ACC_TD, ACC_CNT = 0, 32
 SLAB_MAX = 1024
 
 
+def make_gather(m_ref, SLAB: int, n_slabs: int, rb: int):
+    """Build the M^T one-hot gather for a VMEM table ``m_ref`` [SP, 128].
+
+    Returns ``gather_rows(cp) -> [rb, 128 M-cols, 128 lanes]`` f32.
+    TRANSPOSED on purpose: downstream reads many M-columns per step; with
+    columns on the MIDDLE dim each read is a cheap major-dim slice, where
+    the natural [lanes, cols] orientation would pay a cross-lane extract
+    per read.  Both one-hot operands contract over their sublane dim — no
+    relayouts.  Large tables (n_slabs > 1) accumulate SLAB-row slabs so
+    one-hot intermediates stay bounded.  Shared by the minimax and
+    alternating-turn learner kernels."""
+    sp_iota = jax.lax.broadcasted_iota(jnp.int32, (SLAB, LANES), 0)
+
+    def gather_rows(cp):
+        outs = []
+        for rr in range(rb):
+            if n_slabs == 1:
+                oh = (sp_iota == cp[rr][None, :]).astype(jnp.bfloat16)
+                outs.append(jax.lax.dot_general(
+                    m_ref[:], oh, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+            else:
+                def body(j, acct):
+                    off = j * SLAB
+                    oh = ((sp_iota + off) == cp[rr][None, :]).astype(
+                        jnp.bfloat16)
+                    msl = m_ref[pl.ds(off, SLAB), :]
+                    return acct + jax.lax.dot_general(
+                        msl, oh, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                outs.append(jax.lax.fori_loop(
+                    0, n_slabs, body,
+                    jnp.zeros((LANES, LANES), jnp.float32)))
+        return jnp.stack(outs)
+
+    return gather_rows
+
+
+def make_scatter(acc_ref, SLAB: int, n_slabs: int, rb: int, blk_shape):
+    """Build ``scatter_add(cp, X)``: acc[cp] += X via one_hot^T matmuls
+    (Mosaic takes single contracting dims only, so the rb block rows
+    unroll).  Shared by the minimax and alternating-turn learner
+    kernels."""
+    s_iota = jax.lax.broadcasted_iota(jnp.int32, blk_shape + (SLAB,), 2)
+
+    def add_slab(oh, upd, X):
+        for rr in range(rb):
+            upd = upd + jax.lax.dot_general(
+                oh[rr], X[rr], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        return upd
+
+    def scatter_add(cp, X):
+        if n_slabs == 1:
+            oh = (s_iota == cp[..., None]).astype(jnp.bfloat16)
+            acc_ref[:] = add_slab(oh, acc_ref[:], X)
+            return
+
+        def body(j, _):
+            off = j * SLAB
+            oh = ((s_iota + off) == cp[..., None]).astype(jnp.bfloat16)
+            acc_ref[pl.ds(off, SLAB), :] = add_slab(
+                oh, acc_ref[pl.ds(off, SLAB), :], X)
+            return 0
+
+        jax.lax.fori_loop(0, n_slabs, body, 0)
+
+    return scatter_add
+
+
 def spc(cfg: EnvConfig) -> int:
     """Padded compact state-code count (see core/rules.cellpair_encode):
     one M/acc row per (cell_a, cell_b != cell_a, poss) code — 2.2x fewer
@@ -106,68 +176,14 @@ def _learner_kernel(seed_ref, m_ref, ra_ref, ca_ref, rb_ref, cb_ref,
     acc_ref[:] = jnp.zeros_like(acc_ref)
     rows_iota = jax.lax.broadcasted_iota(jnp.uint32, blk_shape, 0)
     cols_iota = jax.lax.broadcasted_iota(jnp.uint32, blk_shape, 1)
-    s_iota = jax.lax.broadcasted_iota(jnp.int32, blk_shape + (SLAB,), 2)
     c_iota = jax.lax.broadcasted_iota(jnp.int32, blk_shape + (LANES,), 2)
     gamma_f = jnp.float32(gamma)
 
     def cell_of(ra, ca, rb, cb, p):
         return rules.cellpair_encode(jnp, ra, ca, rb, cb, p, cfg)
 
-    sp_iota = jax.lax.broadcasted_iota(jnp.int32, (SLAB, LANES), 0)
-
-    def gather_rows(cp):
-        """M^T one-hot gather -> preT [RB, 128 M-cols, 128 lanes] f32.
-
-        TRANSPOSED on purpose: downstream reads ~60 M-columns per step
-        (policy cumsums, 50 Q column selects, v); with columns on the
-        MIDDLE dim each read is a cheap major-dim slice, where the natural
-        [lanes, cols] orientation would pay a cross-lane extract per read
-        (the dominant cost of the previous kernel).  Both one-hot operands
-        contract over their sublane dim — no relayouts."""
-        outs = []
-        for rr in range(RB):
-            if n_slabs == 1:
-                oh = (sp_iota == cp[rr][None, :]).astype(jnp.bfloat16)
-                outs.append(jax.lax.dot_general(
-                    m_ref[:], oh, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32))
-            else:
-                def body(j, acct):
-                    off = j * SLAB
-                    oh = ((sp_iota + off) == cp[rr][None, :]).astype(
-                        jnp.bfloat16)
-                    msl = m_ref[pl.ds(off, SLAB), :]
-                    return acct + jax.lax.dot_general(
-                        msl, oh, (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                outs.append(jax.lax.fori_loop(
-                    0, n_slabs, body,
-                    jnp.zeros((LANES, LANES), jnp.float32)))
-        return jnp.stack(outs)
-
-    def scatter_add(cp, X):
-        """acc[cp] += X (one_hot^T matmuls; Mosaic takes single contracting
-        dims only, so the RB block rows unroll)."""
-        def add_slab(oh, upd):
-            for rr in range(RB):
-                upd = upd + jax.lax.dot_general(
-                    oh[rr], X[rr], (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-            return upd
-
-        if n_slabs == 1:
-            oh = (s_iota == cp[..., None]).astype(jnp.bfloat16)
-            acc_ref[:] = add_slab(oh, acc_ref[:])
-            return
-
-        def body(j, _):
-            off = j * SLAB
-            oh = ((s_iota + off) == cp[..., None]).astype(jnp.bfloat16)
-            acc_ref[pl.ds(off, SLAB), :] = add_slab(
-                oh, acc_ref[pl.ds(off, SLAB), :])
-            return 0
-
-        jax.lax.fori_loop(0, n_slabs, body, 0)
+    gather_rows = make_gather(m_ref, SLAB, n_slabs, RB)
+    scatter_add = make_scatter(acc_ref, SLAB, n_slabs, RB, blk_shape)
 
     def col(pre, c):
         return pre[:, c, :]

@@ -175,6 +175,51 @@ def bench_altq_learner(quick):
     return B * T / dt
 
 
+def bench_pallas_minimax_learner(quick):
+    """Fused pallas minimax-Q learner (ops/learner_kernel.learner_chunk):
+    on-chip act/step/TD chunks with the M table frozen per chunk — the
+    training analogue of the pallas_fused rollout row."""
+    from gym_soccer_tpu.core import tables
+    from gym_soccer_tpu.ops import learner_kernel as lk
+    B, T = 8192, 64
+    K = 4 if quick else 16
+    nS = tables.build_statespace(CFG).nS
+    m = lk.pack_m(CFG, jnp.full((nS, 5), 0.2), jnp.full((nS, 5), 0.2),
+                  jnp.zeros((nS, 5, 5)), jnp.zeros(nS), eps=0.3)
+    fields0 = lk.init_state_fields(CFG, B)
+
+    def run():
+        fields = fields0
+        for k in range(K):
+            fields, acc, stats = lk.learner_chunk(CFG, k, m, fields, B, T)
+        fetch(acc.sum())
+
+    dt = timed(run)
+    return B * T * K / dt
+
+
+def bench_pallas_altq_learner(quick):
+    """Fused pallas alternating-turn Q-learner (ops/altq_kernel)."""
+    from gym_soccer_tpu.ops import altq_kernel as ak
+    from gym_soccer_tpu.envs.soccer_alternating_env import build_alt_tables
+    B, T = 8192, 64
+    K = 4 if quick else 16
+    nS = build_alt_tables(CFG).nS
+    m = ak.pack_alt_m(CFG, jnp.zeros((nS, 5)))
+    fields0 = ak.init_alt_state_fields(CFG, B)
+    eps = int(0.3 * 65536)
+
+    def run():
+        fields = fields0
+        for k in range(K):
+            fields, acc, stats = ak.altq_chunk(CFG, k, eps, m, fields, B, T,
+                                               step_offset=k * T)
+        fetch(acc.sum())
+
+    dt = timed(run)
+    return B * T * K / dt
+
+
 def bench_parity(quick):
     B, T = 8192, 200 if quick else 1000
     pt = parity.parity_tables(CFG)
@@ -304,6 +349,8 @@ def main():
         ("xla_multigrid_mixed", bench_multigrid),
         ("xla_alternating_engine", bench_alternating),
         ("xla_altq_learner", bench_altq_learner),
+        ("pallas_minimax_learner", bench_pallas_minimax_learner),
+        ("pallas_altq_learner", bench_pallas_altq_learner),
         ("parity_bit_exact", bench_parity),
         ("parity_kernel_fused", bench_parity_kernel),
         ("pallas_fused", bench_pallas),
