@@ -35,6 +35,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="shorter learner run (CI smoke)")
+    ap.add_argument("--fused", action="store_true",
+                    help="train with the fused pallas kernel "
+                         "(ops/altq_kernel; meant for the real chip)")
     args = ap.parse_args()
 
     cfg = EnvConfig(width=5, height=4, slip_prob=0.2)
@@ -49,19 +52,35 @@ def main():
              v_abs_max=round(float(np.abs(v_star).max()), 4))
 
     # --- batched Q-learning self-play vs the exact solution -------------
-    schedule = ([(0.25, 0.3, 3000)] if args.quick else
-                [(0.25, 0.3, 20000), (0.1, 0.2, 20000), (0.03, 0.1, 20000)])
-    st = jax.jit(lambda k: learners.altq_init(cfg, k, 256))(jax.random.key(0))
-    with phase("altq_train", sync=False):
-        for lr, eps, n in schedule:
-            lcfg = learners.AltQConfig(lr=lr, gamma=0.99, eps=eps)
-            train = jax.jit(
-                lambda s, c=lcfg, n=n: learners.altq_train(cfg, c, s, n))
-            st, _ = jax.block_until_ready(train(st))
-    q = np.asarray(st.q)
+    if args.fused:
+        from gym_soccer_tpu.ops.altq_kernel import fused_altq_train
+        n_chunks = 60 if args.quick else 400
+        with phase("altq_train_fused", sync=False):
+            q, _ = fused_altq_train(
+                cfg, batch=8192 if args.quick else 65536,
+                n_chunks=n_chunks, chunk_len=32, lr=1.0, eps=0.25,
+                eps_min=0.1, eps_halflife=300_000,
+                lr_anneal_start=n_chunks // 2, lr_anneal_tau=25.0,
+                lr_anneal_pow=1.5, seed=1)
+        q = np.asarray(q)
+        env_steps = (8192 if args.quick else 65536) * n_chunks * 32
+    else:
+        schedule = ([(0.25, 0.3, 3000)] if args.quick else
+                    [(0.25, 0.3, 20000), (0.1, 0.2, 20000),
+                     (0.03, 0.1, 20000)])
+        st = jax.jit(lambda k: learners.altq_init(cfg, k, 256))(
+            jax.random.key(0))
+        with phase("altq_train", sync=False):
+            for lr, eps, n in schedule:
+                lcfg = learners.AltQConfig(lr=lr, gamma=0.99, eps=eps)
+                train = jax.jit(
+                    lambda s, c=lcfg, n=n: learners.altq_train(cfg, c, s, n))
+                st, _ = jax.block_until_ready(train(st))
+        q = np.asarray(st.q)
+        env_steps = sum(n for _, _, n in schedule) * 256
     v_learned = np.where(tb.turn == 0, q.max(-1), q.min(-1))
     err = np.abs(v_learned - v_star)
-    log_json(event="learned", env_steps=sum(n for _, _, n in schedule) * 256,
+    log_json(event="learned", env_steps=env_steps,
              v_err_mean=round(float(err.mean()), 4),
              v_err_max=round(float(err.max()), 4))
 

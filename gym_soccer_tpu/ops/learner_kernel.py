@@ -129,27 +129,40 @@ def make_scatter(acc_ref, SLAB: int, n_slabs: int, rb: int, blk_shape):
     return scatter_add
 
 
+def _pad_sp(n: int) -> int:
+    sp = -(-n // LANES) * LANES
+    if sp > 2 * SLAB_MAX:  # slabbed gathers need SLAB_MAX | SP
+        sp = -(-sp // SLAB_MAX) * SLAB_MAX
+    return sp
+
+
 def spc(cfg: EnvConfig) -> int:
     """Padded compact state-code count (see core/rules.cellpair_encode):
     one M/acc row per (cell_a, cell_b != cell_a, poss) code — 2.2x fewer
     MXU lanes than raw-code padding on 5x4 and small enough that 11x7
     (nS=11705) fits the kernel's VMEM tables."""
     from ..core import rules
-    sp = -(-rules.n_cellpairs(cfg) // LANES) * LANES
-    if sp > 2 * SLAB_MAX:  # slabbed gathers need SLAB_MAX | SP
-        sp = -(-sp // SLAB_MAX) * SLAB_MAX
-    return sp
+    return _pad_sp(rules.n_cellpairs(cfg))
+
+
+def spc_mg(cfgs: tuple) -> tuple[int, np.ndarray]:
+    """(padded total row count, per-variant row offsets) of the MULTIGRID
+    packed tables: variants' compact code blocks are concatenated."""
+    from ..core import rules
+    sizes = [rules.n_cellpairs(c) for c in cfgs]
+    offsets = np.concatenate([[0], np.cumsum(sizes[:-1])]).astype(np.int32)
+    return _pad_sp(int(sum(sizes))), offsets
 
 
 # Backwards-compatible alias (pre-compaction name).
 spad = spc
 
 
-def _learner_kernel(seed_ref, m_ref, ra_ref, ca_ref, rb_ref, cb_ref,
-                    p_ref, t_ref,
-                    ora, oca, orb, ocb, op, ot, acc_ref, stats_ref,
-                    *, cfg: EnvConfig, n_steps: int, q_int: int,
-                    gamma: float, rb: int):
+def _learner_body(seed_ref, m_ref, planes, ra_ref, ca_ref, rb_ref, cb_ref,
+                  p_ref, t_ref,
+                  ora, oca, orb, ocb, op, ot, acc_ref, stats_ref,
+                  *, cfg, n_steps: int, q_int, gamma: float, rb: int,
+                  max_steps: int = 0):
     """Block-major fused actor/TD loop.
 
     Each RB*128-lane block runs its whole n_steps trajectory in one inner
@@ -162,6 +175,12 @@ def _learner_kernel(seed_ref, m_ref, ra_ref, ca_ref, rb_ref, cb_ref,
     i is retired during step i+1's gather, and a single trailing gather
     retires the last step.  Large grids (SP > 2*SLAB_MAX) process M/acc in
     SLAB_MAX-row slabs so one-hot intermediates stay bounded.
+
+    ``planes`` is None (static ``cfg``/``q_int`` geometry) or the 6
+    MULTIGRID per-lane plane refs (H, W, glo, ghi, q_int, cellpair-row
+    offset): geometry becomes data (ops/step_kernel.GeoPlanes) and each
+    lane indexes its own variant's block of M/acc — one compiled kernel
+    trains any mixture of board variants.
     """
     from ..core import rules
     RB = rb
@@ -178,9 +197,6 @@ def _learner_kernel(seed_ref, m_ref, ra_ref, ca_ref, rb_ref, cb_ref,
     cols_iota = jax.lax.broadcasted_iota(jnp.uint32, blk_shape, 1)
     c_iota = jax.lax.broadcasted_iota(jnp.int32, blk_shape + (LANES,), 2)
     gamma_f = jnp.float32(gamma)
-
-    def cell_of(ra, ca, rb, cb, p):
-        return rules.cellpair_encode(jnp, ra, ca, rb, cb, p, cfg)
 
     gather_rows = make_gather(m_ref, SLAB, n_slabs, RB)
     scatter_add = make_scatter(acc_ref, SLAB, n_slabs, RB, blk_shape)
@@ -220,6 +236,20 @@ def _learner_kernel(seed_ref, m_ref, ra_ref, ca_ref, rb_ref, cb_ref,
         zi = jnp.zeros(blk_shape, jnp.int32)
         zf = jnp.zeros(blk_shape, jnp.float32)
 
+        if planes is None:
+            geo, q_geo, cpo = cfg, q_int, None
+        else:
+            h_ref, w_ref, glo_ref, ghi_ref, qp_ref, cpo_ref = planes
+            geo = sk.GeoPlanes(H=h_ref[sl, :], W=w_ref[sl, :],
+                               glo=glo_ref[sl, :], ghi=ghi_ref[sl, :],
+                               q_int=qp_ref[sl, :], max_steps=max_steps)
+            q_geo = geo.q_int
+            cpo = cpo_ref[sl, :]
+
+        def cell_of(ra, ca, rb, cb, p):
+            c = rules.cellpair_encode(jnp, ra, ca, rb, cb, p, geo)
+            return c if cpo is None else c + cpo
+
         def step(i, c):
             (ra, ca, rb, cb, p, t, pend,
              rew_acc, goal_acc, trunc_acc) = c
@@ -238,9 +268,9 @@ def _learner_kernel(seed_ref, m_ref, ra_ref, ca_ref, rb_ref, cb_ref,
             ab = sample5(pre, COL_PI_B, ub)
 
             nra, nca, nrb, ncb, npz, goal, r = sk.transition_core(
-                ra, ca, rb, cb, p, aa, ab, bits1, bits2, cfg, q_int)
+                ra, ca, rb, cb, p, aa, ab, bits1, bits2, geo, q_geo)
             nra, nca, nrb, ncb, npz, t2, trunc = sk.autoreset_core(
-                nra, nca, nrb, ncb, npz, t, goal, bits2, cfg)
+                nra, nca, nrb, ncb, npz, t, goal, bits2, geo)
 
             ja = aa * N_ACTIONS + ab
             q_cur = jnp.zeros(blk_shape, jnp.float32)
@@ -280,6 +310,34 @@ def _learner_kernel(seed_ref, m_ref, ra_ref, ca_ref, rb_ref, cb_ref,
     stats_ref[0, 0] = rew
     stats_ref[0, 1] = goals
     stats_ref[0, 2] = truncs
+
+
+def _learner_kernel(seed_ref, m_ref, ra_ref, ca_ref, rb_ref, cb_ref,
+                    p_ref, t_ref,
+                    ora, oca, orb, ocb, op, ot, acc_ref, stats_ref,
+                    *, cfg: EnvConfig, n_steps: int, q_int: int,
+                    gamma: float, rb: int):
+    """Static-geometry (single-variant) fused learner kernel."""
+    _learner_body(seed_ref, m_ref, None, ra_ref, ca_ref, rb_ref, cb_ref,
+                  p_ref, t_ref, ora, oca, orb, ocb, op, ot, acc_ref,
+                  stats_ref, cfg=cfg, n_steps=n_steps, q_int=q_int,
+                  gamma=gamma, rb=rb)
+
+
+def _mg_learner_kernel(seed_ref, m_ref, h_ref, w_ref, glo_ref, ghi_ref,
+                       qp_ref, cpo_ref, ra_ref, ca_ref, rb_ref, cb_ref,
+                       p_ref, t_ref,
+                       ora, oca, orb, ocb, op, ot, acc_ref, stats_ref,
+                       *, n_steps: int, gamma: float, rb: int,
+                       max_steps: int):
+    """Multigrid fused learner kernel: geometry + cellpair-row offset are
+    per-lane planes (one compilation for any variant mixture)."""
+    _learner_body(seed_ref, m_ref,
+                  (h_ref, w_ref, glo_ref, ghi_ref, qp_ref, cpo_ref),
+                  ra_ref, ca_ref, rb_ref, cb_ref, p_ref, t_ref,
+                  ora, oca, orb, ocb, op, ot, acc_ref, stats_ref,
+                  cfg=None, n_steps=n_steps, q_int=0, gamma=gamma, rb=rb,
+                  max_steps=max_steps)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "batch", "n_steps",
@@ -331,17 +389,77 @@ def learner_chunk(cfg: EnvConfig, seed, m_packed, state_fields,
     return tuple(fields), acc, (stats[0, 0], stats[0, 1], stats[0, 2])
 
 
+@functools.partial(jax.jit, static_argnames=("cfgs", "batch", "n_steps",
+                                             "gamma", "interpret"))
+def multigrid_learner_chunk(cfgs: tuple, seed, m_packed, planes,
+                            state_fields, batch: int, n_steps: int,
+                            gamma: float = 0.99, interpret: bool = False):
+    """Run one fused chunk over a MIXED-geometry batch (BASELINE config 4
+    at pallas speed, training edition).  ``m_packed`` [spc_mg(cfgs)[0],
+    128] bfloat16 — per-variant table blocks concatenated (pack_m with a
+    tuple cfg); ``planes`` = 6 int32 [batch/128, 128] planes (H, W, glo,
+    ghi, q_int, cellpair-row offset — from init_state_fields's mg mode);
+    ``state_fields`` = 6 int32 planes.  Returns (new_fields,
+    acc [SP, 128] f32, stats[3])."""
+    assert n_steps > 0
+    assert batch % LANES == 0, f"batch must be a multiple of {LANES}"
+    assert len({c.max_steps for c in cfgs}) == 1, \
+        "variants must share max_steps"
+    shape = (batch // LANES, LANES)
+    SP, _ = spc_mg(cfgs)
+    cap = RB if SP <= 2 * SLAB_MAX else RB_SLABBED
+    rb = next(r for r in range(min(cap, shape[0]), 0, -1)
+              if shape[0] % r == 0)
+
+    vmem_mb = SP * LANES * (2 + 4) / 2**20
+    if vmem_mb > 14:
+        raise ValueError(
+            f"variant mixture too large for the fused learner kernel: "
+            f"packed tables need ~{vmem_mb:.0f} MB of VMEM ({SP} codes); "
+            f"use agents.learners.multigrid_minimax_train (HBM tables) "
+            f"instead")
+    kernel = functools.partial(
+        _mg_learner_kernel, n_steps=n_steps, gamma=gamma, rb=rb,
+        max_steps=cfgs[0].max_steps)
+    out_shapes = ([jax.ShapeDtypeStruct(shape, jnp.int32)] * 6 +
+                  [jax.ShapeDtypeStruct((SP, LANES), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 4), jnp.int32)])
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=tuple(out_shapes),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] +
+                 [pl.BlockSpec(memory_space=pltpu.VMEM)] * 13,
+        out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 7 +
+                        [pl.BlockSpec(memory_space=pltpu.SMEM)]),
+        input_output_aliases={8 + i: i for i in range(6)},
+        interpret=interpret,
+    )(jnp.asarray([seed], jnp.int32), m_packed, *planes, *state_fields)
+    *fields, acc, stats = outs
+    return tuple(fields), acc, (stats[0, 0], stats[0, 1], stats[0, 2])
+
+
 # ----------------------------------------------------------------------
 # Chunked training wrapper
 # ----------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=None)
-def _cell_rows(cfg: EnvConfig) -> np.ndarray:
-    """Compact cellpair code of each dense state (dense row -> M row)."""
+def _cell_rows(cfg) -> np.ndarray:
+    """Compact cellpair code of each dense state (dense row -> M row).
+    A tuple cfg gives the MULTIGRID rows: per-variant codes shifted by
+    the variant's block offset, concatenated in codec order
+    (core/multigrid.build_codec's offsets)."""
     from ..core import rules, tables
+    if isinstance(cfg, tuple):
+        _, offs = spc_mg(cfg)
+        return np.concatenate([_cell_rows(c) + o
+                               for c, o in zip(cfg, offs)])
     d2r = tables.build_statespace(cfg).dense_to_raw.astype(np.int64)
     xa, ya, xb, yb, p = rules.raw_decode(np, d2r, cfg)
     return rules.cellpair_encode(np, xa, ya, xb, yb, p, cfg).astype(np.int32)
+
+
+def _spc_any(cfg) -> int:
+    return spc_mg(cfg)[0] if isinstance(cfg, tuple) else spc(cfg)
 
 
 # Backwards-compatible alias (pre-compaction name; rows now index the
@@ -349,13 +467,17 @@ def _cell_rows(cfg: EnvConfig) -> np.ndarray:
 _raw_rows = _cell_rows
 
 
-def pack_m(cfg: EnvConfig, pi_a, pi_b, q, v, eps: float) -> jnp.ndarray:
+def pack_m(cfg, pi_a, pi_b, q, v, eps: float) -> jnp.ndarray:
     """Pack (exploration-mixed) policies, Q and v into the kernel's
     compact-indexed M [spc, 128] bfloat16.  Q and v are split double-bf16
     (see the column-layout comment at the top of this module): the hi
     column is the exact bf16 rounding, the lo column the residual
-    (bf16-quantized, leaving ~2^-17 combined relative error)."""
-    SP = spc(cfg)
+    (bf16-quantized, leaving ~2^-17 combined relative error).
+
+    ``cfg`` may be a tuple of EnvConfigs (MULTIGRID): tables are then
+    indexed by the global dense state (variants concatenated in
+    core/multigrid.build_codec's offset order)."""
+    SP = _spc_any(cfg)
     rows = jnp.asarray(_cell_rows(cfg))
     explore = eps / N_ACTIONS
     hi = lambda x: x.astype(jnp.bfloat16).astype(jnp.float32)
@@ -371,8 +493,9 @@ def pack_m(cfg: EnvConfig, pi_a, pi_b, q, v, eps: float) -> jnp.ndarray:
     return m.astype(jnp.bfloat16)
 
 
-def unpack_acc(cfg: EnvConfig, acc) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """acc [spc, 128] -> dense (sum_td, cnt), each [nS, 5, 5]."""
+def unpack_acc(cfg, acc) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """acc [spc, 128] -> dense (sum_td, cnt), each [nS, 5, 5] (for a
+    tuple cfg: nS = the mixture's concatenated state count)."""
     rows = jnp.asarray(_cell_rows(cfg))
     nS = rows.shape[0]
     sum_td = acc[rows, ACC_TD:ACC_TD + NJ].reshape(nS, 5, 5)
@@ -380,15 +503,26 @@ def unpack_acc(cfg: EnvConfig, acc) -> tuple[jnp.ndarray, jnp.ndarray]:
     return sum_td, cnt
 
 
-def init_state_fields(cfg: EnvConfig, batch: int):
+def init_state_fields(cfg, batch: int):
     """Lane-tiled initial state spread over the ISD (shared helper with
-    the rollout kernel) plus a zeroed step counter."""
+    the rollout kernel) plus a zeroed step counter.
+
+    For a tuple cfg (MULTIGRID) returns ``(planes, fields)``: the 6
+    geometry planes the mg kernel needs (H, W, glo, ghi, q_int,
+    cellpair-row offset; lanes assigned round-robin as in
+    core/multigrid.lane_geometry) and the 6 state fields."""
     shape = (batch // LANES, LANES)
+    if isinstance(cfg, tuple):
+        planes, isd_init = sk._mg_planes(cfg, batch, shape)
+        _, offs = spc_mg(cfg)
+        cpo = jnp.asarray(offs)[planes[5]]        # vid -> row offset
+        fields = tuple(isd_init) + (jnp.zeros(shape, jnp.int32),)
+        return tuple(planes[:5]) + (cpo,), fields
     return sk.isd_spread_fields(cfg, batch, shape) + (
         jnp.zeros(shape, jnp.int32),)
 
 
-def fused_minimax_train(cfg: EnvConfig, batch: int, n_chunks: int,
+def fused_minimax_train(cfg, batch: int, n_chunks: int,
                         chunk_len: int = 64, lr: float = 0.3,
                         gamma: float = 0.99, eps: float = 0.3,
                         lr_halflife: int = 0, eps_halflife: int = 0,
@@ -445,10 +579,18 @@ def fused_minimax_train(cfg: EnvConfig, batch: int, n_chunks: int,
     minimal dispatch overhead, but the long scan over pallas_call bodies
     compiles slowly (minutes on this environment's remote compiler and
     can wedge its relay); the default per-chunk loop pays one round trip
-    per chunk instead."""
+    per chunk instead.
+
+    ``cfg`` may be a TUPLE of EnvConfigs: the run then trains ONE
+    concatenated table over a mixed-geometry batch (lanes round-robin
+    across variants) through the multigrid kernel — per-variant results
+    live at core/multigrid.build_codec's offsets."""
     from ..agents.learners import solve_matrix_games
     from ..core import tables
-    nS = tables.build_statespace(cfg).nS
+    if isinstance(cfg, tuple):
+        nS = int(sum(tables.build_statespace(c).nS for c in cfg))
+    else:
+        nS = tables.build_statespace(cfg).nS
 
     n = jnp.zeros((nS, 5, 5), jnp.float32)
     if init is None:
@@ -462,7 +604,19 @@ def fused_minimax_train(cfg: EnvConfig, batch: int, n_chunks: int,
             n = jnp.asarray(n, jnp.float32)
         q, v, pi_a, pi_b = (jnp.asarray(x, jnp.float32) for x in init)
         assert q.shape == (nS, 5, 5) and v.shape == (nS,)
-    fields = init_state_fields(cfg, batch)
+    if isinstance(cfg, tuple):
+        planes, fields = init_state_fields(cfg, batch)
+
+        def chunk(seed_k, m, fields):
+            return multigrid_learner_chunk(cfg, seed_k, m, planes, fields,
+                                           batch, chunk_len, gamma=gamma,
+                                           interpret=interpret)
+    else:
+        fields = init_state_fields(cfg, batch)
+
+        def chunk(seed_k, m, fields):
+            return learner_chunk(cfg, seed_k, m, fields, batch, chunk_len,
+                                 gamma=gamma, interpret=interpret)
 
     @jax.jit
     def between(q, n, acc, lr_now, eps_now):
@@ -498,9 +652,7 @@ def fused_minimax_train(cfg: EnvConfig, batch: int, n_chunks: int,
         def whole_run(fields, q, n, v, pi_a, pi_b, m):
             def chunk_body(carry, k):
                 fields, q, n, v, pa, pb, m = carry
-                fields, acc, stats = learner_chunk(
-                    cfg, seed * 1_000_003 + k, m, fields, batch, chunk_len,
-                    gamma=gamma, interpret=interpret)
+                fields, acc, stats = chunk(seed * 1_000_003 + k, m, fields)
                 kf = k.astype(jnp.float32)
                 q, n, v, pa, pb, m = between(
                     q, n, acc, lr_at(kf),
@@ -526,9 +678,7 @@ def fused_minimax_train(cfg: EnvConfig, batch: int, n_chunks: int,
             return x if s is None else s + x
 
         for k in range(n_chunks):
-            fields, acc, stats = learner_chunk(
-                cfg, seed * 1_000_003 + k, m, fields, batch, chunk_len,
-                gamma=gamma, interpret=interpret)
+            fields, acc, stats = chunk(seed * 1_000_003 + k, m, fields)
             q, n, v, pi_a, pi_b, m = between(
                 q, n, acc, jnp.float32(lr_at(k)),
                 jnp.float32(decay(eps, eps_halflife, k, eps_min)))

@@ -48,6 +48,13 @@ class GeoPlanes:
         self.q_int = q_int                    # round(slip * 65536)
         self.max_steps = max_steps            # static (shared across lanes)
 
+    @property
+    def goal_row_bounds(self):
+        """Duck-types EnvConfig.goal_row_bounds so the closed-form cell
+        codes (core/rules.cell_encode/cellpair_encode) work per-lane —
+        what lets the fused MULTIGRID learner index its packed tables."""
+        return self.glo, self.ghi
+
 
 def _in_goal_rows(x, cfg):
     if isinstance(cfg, GeoPlanes):

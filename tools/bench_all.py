@@ -198,6 +198,30 @@ def bench_pallas_minimax_learner(quick):
     return B * T * K / dt
 
 
+def bench_pallas_multigrid_learner(quick):
+    """Fused minimax-Q learner over a MIXED-geometry batch (one kernel,
+    geometry and table offsets as per-lane planes)."""
+    from gym_soccer_tpu.core import tables
+    from gym_soccer_tpu.ops import learner_kernel as lk
+    cfgs = (CFG, EnvConfig(6, 5, 0.1), EnvConfig(8, 6, 0.3))
+    B, T = 8192, 64
+    K = 4 if quick else 16
+    nS = sum(tables.build_statespace(c).nS for c in cfgs)
+    m = lk.pack_m(cfgs, jnp.full((nS, 5), 0.2), jnp.full((nS, 5), 0.2),
+                  jnp.zeros((nS, 5, 5)), jnp.zeros(nS), eps=0.3)
+    planes, fields0 = lk.init_state_fields(cfgs, B)
+
+    def run():
+        fields = fields0
+        for k in range(K):
+            fields, acc, stats = lk.multigrid_learner_chunk(
+                cfgs, k, m, planes, fields, B, T)
+        fetch(acc.sum())
+
+    dt = timed(run)
+    return B * T * K / dt
+
+
 def bench_pallas_altq_learner(quick):
     """Fused pallas alternating-turn Q-learner (ops/altq_kernel)."""
     from gym_soccer_tpu.ops import altq_kernel as ak
@@ -350,6 +374,7 @@ def main():
         ("xla_alternating_engine", bench_alternating),
         ("xla_altq_learner", bench_altq_learner),
         ("pallas_minimax_learner", bench_pallas_minimax_learner),
+        ("pallas_multigrid_learner", bench_pallas_multigrid_learner),
         ("pallas_altq_learner", bench_pallas_altq_learner),
         ("parity_bit_exact", bench_parity),
         ("parity_kernel_fused", bench_parity_kernel),
