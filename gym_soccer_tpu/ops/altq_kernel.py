@@ -89,6 +89,11 @@ def _altq_kernel(smem_ref, m_ref, ra_ref, ca_ref, rb_ref, cb_ref,
     gather_rows = make_gather(m_ref, SLAB, n_slabs, RBk)
     scatter_add = make_scatter(acc_ref, SLAB, n_slabs, RBk, blk_shape)
 
+    def bounds(cp):
+        if n_slabs == 1:
+            return None
+        return jnp.min(cp) // SLAB, jnp.max(cp) // SLAB + 1
+
     def col(pre, c):
         return pre[:, c, :]
 
@@ -115,7 +120,7 @@ def _altq_kernel(smem_ref, m_ref, ra_ref, ca_ref, rb_ref, cb_ref,
               * td[..., None]
               + (c_iota == cnt_col[..., None]).astype(jnp.float32))
              * valid[..., None]).astype(jnp.bfloat16)
-        scatter_add(cp, X)
+        scatter_add(cp, X, bounds(cp))
 
     def block(blk, carry0):
         sl = pl.ds(blk * RBk, RBk)
@@ -132,7 +137,7 @@ def _altq_kernel(smem_ref, m_ref, ra_ref, ca_ref, rb_ref, cb_ref,
             bits2 = sk._random_word(seed, i + off, 2, lane)
 
             cp = rules.cellpair_encode(jnp, ra, ca, rb, cb, p, cfg)
-            pre = gather_rows(cp)
+            pre = gather_rows(cp, bounds(cp))
             qs = mover_q(pre, turn)
             retire(qs, turn, pend)
 
@@ -180,7 +185,7 @@ def _altq_kernel(smem_ref, m_ref, ra_ref, ca_ref, rb_ref, cb_ref,
 
         # trailing gather retires the final step's TD
         cp = rules.cellpair_encode(jnp, ra, ca, rb, cb, p, cfg)
-        retire(mover_q(gather_rows(cp), turn), turn, pend)
+        retire(mover_q(gather_rows(cp, bounds(cp)), turn), turn, pend)
 
         ra_ref[sl, :], ca_ref[sl, :] = ra, ca
         rb_ref[sl, :], cb_ref[sl, :] = rb, cb

@@ -68,11 +68,15 @@ def make_gather(m_ref, SLAB: int, n_slabs: int, rb: int):
     the natural [lanes, cols] orientation would pay a cross-lane extract
     per read.  Both one-hot operands contract over their sublane dim — no
     relayouts.  Large tables (n_slabs > 1) accumulate SLAB-row slabs so
-    one-hot intermediates stay bounded.  Shared by the minimax and
+    one-hot intermediates stay bounded, and only the slabs the block's
+    codes actually TOUCH run (locality-adaptive bounds — a skipped slab's
+    one-hot is identically zero, so results are bit-identical; in the
+    MULTIGRID kernel with variant-major lanes this makes each block pay
+    only for its own variant's table rows).  Shared by the minimax and
     alternating-turn learner kernels."""
     sp_iota = jax.lax.broadcasted_iota(jnp.int32, (SLAB, LANES), 0)
 
-    def gather_rows(cp):
+    def gather_rows(cp, slab_bounds=None):
         outs = []
         for rr in range(rb):
             if n_slabs == 1:
@@ -89,8 +93,9 @@ def make_gather(m_ref, SLAB: int, n_slabs: int, rb: int):
                     return acct + jax.lax.dot_general(
                         msl, oh, (((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
+                lo, hi = (0, n_slabs) if slab_bounds is None else slab_bounds
                 outs.append(jax.lax.fori_loop(
-                    0, n_slabs, body,
+                    lo, hi, body,
                     jnp.zeros((LANES, LANES), jnp.float32)))
         return jnp.stack(outs)
 
@@ -111,7 +116,7 @@ def make_scatter(acc_ref, SLAB: int, n_slabs: int, rb: int, blk_shape):
                 preferred_element_type=jnp.float32)
         return upd
 
-    def scatter_add(cp, X):
+    def scatter_add(cp, X, slab_bounds=None):
         if n_slabs == 1:
             oh = (s_iota == cp[..., None]).astype(jnp.bfloat16)
             acc_ref[:] = add_slab(oh, acc_ref[:], X)
@@ -124,7 +129,8 @@ def make_scatter(acc_ref, SLAB: int, n_slabs: int, rb: int, blk_shape):
                 oh, acc_ref[pl.ds(off, SLAB), :], X)
             return 0
 
-        jax.lax.fori_loop(0, n_slabs, body, 0)
+        lo, hi = (0, n_slabs) if slab_bounds is None else slab_bounds
+        jax.lax.fori_loop(lo, hi, body, 0)
 
     return scatter_add
 
@@ -201,6 +207,11 @@ def _learner_body(seed_ref, m_ref, planes, ra_ref, ca_ref, rb_ref, cb_ref,
     gather_rows = make_gather(m_ref, SLAB, n_slabs, RB)
     scatter_add = make_scatter(acc_ref, SLAB, n_slabs, RB, blk_shape)
 
+    def bounds(cp):
+        if n_slabs == 1:
+            return None
+        return jnp.min(cp) // SLAB, jnp.max(cp) // SLAB + 1
+
     def col(pre, c):
         return pre[:, c, :]
 
@@ -227,7 +238,7 @@ def _learner_body(seed_ref, m_ref, planes, ra_ref, ca_ref, rb_ref, cb_ref,
         oh_ct = (c_iota == (ja[..., None] + ACC_CNT)).astype(jnp.float32)
         X = ((oh_td * td[..., None] + oh_ct)
              * valid[..., None]).astype(jnp.bfloat16)
-        scatter_add(cp, X)
+        scatter_add(cp, X, bounds(cp))
 
     def block(blk, carry0):
         sl = pl.ds(blk * RB, RB)
@@ -258,7 +269,7 @@ def _learner_body(seed_ref, m_ref, planes, ra_ref, ca_ref, rb_ref, cb_ref,
             bits2 = sk._random_word(seed, i, 2, lane)
 
             cp = cell_of(ra, ca, rb, cb, p)
-            pre = gather_rows(cp)
+            pre = gather_rows(cp, bounds(cp))
             retire(pre, pend)
 
             inv = jnp.float32(1.0 / 65536.0)
@@ -295,7 +306,8 @@ def _learner_body(seed_ref, m_ref, planes, ra_ref, ca_ref, rb_ref, cb_ref,
             0, n_steps, step, init)
 
         # trailing gather retires the final step's TD
-        retire(gather_rows(cell_of(ra, ca, rb, cb, p)), pend)
+        cp_end = cell_of(ra, ca, rb, cb, p)
+        retire(gather_rows(cp_end, bounds(cp_end)), pend)
 
         ra_ref[sl, :], ca_ref[sl, :] = ra, ca
         rb_ref[sl, :], cb_ref[sl, :] = rb, cb
@@ -509,11 +521,14 @@ def init_state_fields(cfg, batch: int):
 
     For a tuple cfg (MULTIGRID) returns ``(planes, fields)``: the 6
     geometry planes the mg kernel needs (H, W, glo, ghi, q_int,
-    cellpair-row offset; lanes assigned round-robin as in
-    core/multigrid.lane_geometry) and the 6 state fields."""
+    cellpair-row offset) and the 6 state fields.  Lanes are assigned
+    variants in CONTIGUOUS chunks ('blocked' layout) so almost every
+    kernel lane-block is single-variant and the locality-adaptive slab
+    bounds skip the other variants' table rows."""
     shape = (batch // LANES, LANES)
     if isinstance(cfg, tuple):
-        planes, isd_init = sk._mg_planes(cfg, batch, shape)
+        planes, isd_init = sk._mg_planes(cfg, batch, shape,
+                                         layout="blocked")
         _, offs = spc_mg(cfg)
         cpo = jnp.asarray(offs)[planes[5]]        # vid -> row offset
         fields = tuple(isd_init) + (jnp.zeros(shape, jnp.int32),)

@@ -560,13 +560,22 @@ def _mg_rollout_kernel(seed_ref, h_ref, w_ref, glo_ref, ghi_ref, q_ref,
         stats_ref[b, v, 2] = jnp.sum(truncs * m)
 
 
-def _mg_planes(cfgs, batch: int, shape):
+def _mg_planes(cfgs, batch: int, shape, layout: str = "roundrobin"):
     """Host-side per-lane geometry planes + arithmetic-ISD-spread initial
-    state (round-robin variant assignment, matching
-    core/multigrid.lane_geometry)."""
+    state.  ``layout``: 'roundrobin' assigns lane i -> cfgs[i % nV]
+    (matching core/multigrid.lane_geometry); 'blocked' assigns variants
+    in contiguous near-equal chunks, which makes almost every kernel
+    lane-block single-variant — that is what lets the fused MULTIGRID
+    learner's locality-adaptive slab bounds touch only the block's own
+    variant's table rows.  Either layout is correct; they differ only in
+    which lane runs which board."""
     import numpy as np
     nV = len(cfgs)
-    idx = np.arange(batch, dtype=np.int64) % nV
+    lanes = np.arange(batch, dtype=np.int64)
+    if layout == "blocked":
+        idx = lanes * nV // batch
+    else:
+        idx = lanes % nV
     H = np.asarray([c.H for c in cfgs], np.int32)[idx]
     W = np.asarray([c.W for c in cfgs], np.int32)[idx]
     glo = np.asarray([c.goal_row_bounds[0] for c in cfgs], np.int32)[idx]
