@@ -314,7 +314,7 @@ def fused_altq_train(cfg: EnvConfig, batch: int, n_chunks: int,
                      eps_min: float = 0.0, eps_halflife: int = 0,
                      lr_anneal_start: int = 0, lr_anneal_tau: float = 0.0,
                      lr_anneal_pow: float = 1.0, seed: int = 0,
-                     interpret: bool = False, init=None):
+                     interpret: bool = False, init=None, mesh=None):
     """Chunked fused alternating-turn Q-learning.  Returns (q,
     stats_history); ``q`` [nS_alt, 5] has `alt_value_iteration`'s exact
     minimax values as its fixpoint (extract a policy with
@@ -324,13 +324,32 @@ def fused_altq_train(cfg: EnvConfig, batch: int, n_chunks: int,
     count-normalized empirical Bellman backup per visited cell against a
     chunk-stale bootstrap, so lr ~ 1 contracts fastest and an
     ``lr_anneal_*`` polynomial tail averages the residual sample noise.
-    ``init`` optionally warm-starts q (an [nS_alt, 5] array)."""
+    ``init`` optionally warm-starts q (an [nS_alt, 5] array).  ``mesh``
+    (a jax.sharding.Mesh with an 'env' axis) DP-shards the lane batch:
+    per-device fused chunks with psum'd accumulators
+    (parallel/mesh.sharded_altq_chunk_fn)."""
     from ..envs.soccer_alternating_env import build_alt_tables
     nS = build_alt_tables(cfg).nS
     q = (jnp.zeros((nS, N_ACTIONS), jnp.float32) if init is None
          else jnp.asarray(init, jnp.float32))
     assert q.shape == (nS, N_ACTIONS)
     fields = init_alt_state_fields(cfg, batch)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        from ..parallel.mesh import sharded_altq_chunk_fn
+        sharded = sharded_altq_chunk_fn(cfg, mesh, batch, chunk_len,
+                                        gamma=gamma, interpret=interpret)
+        sh = NamedSharding(mesh, PartitionSpec("env", None))
+        fields = tuple(jax.device_put(f, sh) for f in fields)
+
+        def chunk(seed_k, eps_int, m, fields, step_offset):
+            return sharded(seed_k, eps_int, m, fields, step_offset)
+    else:
+        def chunk(seed_k, eps_int, m, fields, step_offset):
+            return altq_chunk(cfg, seed_k, eps_int, m, fields, batch,
+                              chunk_len, gamma=gamma,
+                              step_offset=step_offset, interpret=interpret)
 
     @jax.jit
     def between(q, acc, lr_now):
@@ -353,10 +372,9 @@ def fused_altq_train(cfg: EnvConfig, batch: int, n_chunks: int,
     m = pack_alt_m(cfg, q)
     history = []
     for k in range(n_chunks):
-        fields, acc, stats = altq_chunk(
-            cfg, seed * 1_000_003 + k, int(round(eps_at(k) * 65536)),
-            m, fields, batch, chunk_len, gamma=gamma,
-            step_offset=k * chunk_len, interpret=interpret)
+        fields, acc, stats = chunk(
+            seed * 1_000_003 + k, int(round(eps_at(k) * 65536)),
+            m, fields, k * chunk_len)
         q, m = between(q, acc, jnp.float32(lr_at(k)))
         if k % 16 == 0 or k == n_chunks - 1:
             history.append(stats)  # device scalars; fetched at the end

@@ -552,7 +552,8 @@ def fused_minimax_train(cfg, batch: int, n_chunks: int,
                         final_solver_iters: int = 0,
                         interpret: bool = False,
                         single_dispatch: bool = False,
-                        init: tuple | None = None):
+                        init: tuple | None = None,
+                        mesh=None):
     """Chunked fused minimax-Q training.  Returns (q, v, pi_a, pi_b,
     stats_history).  Semantics match agents/learners.minimax_train with
     resolve_every == chunk_len (chunk-stale TD baselines).
@@ -599,7 +600,13 @@ def fused_minimax_train(cfg, batch: int, n_chunks: int,
     ``cfg`` may be a TUPLE of EnvConfigs: the run then trains ONE
     concatenated table over a mixed-geometry batch (lanes round-robin
     across variants) through the multigrid kernel — per-variant results
-    live at core/multigrid.build_codec's offsets."""
+    live at core/multigrid.build_codec's offsets.
+
+    ``mesh`` (a jax.sharding.Mesh with an 'env' axis) shards the lane
+    batch over devices: each device runs its own fused chunk and the
+    TD/count accumulators are psum'd, so the replicated between-chunk
+    update sees the whole batch — DP scaling of the fast path
+    (parallel/mesh.sharded_learner_chunk_fn)."""
     from ..agents.learners import solve_matrix_games
     from ..core import tables
     if isinstance(cfg, tuple):
@@ -619,16 +626,33 @@ def fused_minimax_train(cfg, batch: int, n_chunks: int,
             n = jnp.asarray(n, jnp.float32)
         q, v, pi_a, pi_b = (jnp.asarray(x, jnp.float32) for x in init)
         assert q.shape == (nS, 5, 5) and v.shape == (nS,)
+    planes = None
     if isinstance(cfg, tuple):
         planes, fields = init_state_fields(cfg, batch)
+    else:
+        fields = init_state_fields(cfg, batch)
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        from ..parallel.mesh import sharded_learner_chunk_fn
+        sharded = sharded_learner_chunk_fn(cfg, mesh, batch, chunk_len,
+                                           gamma=gamma, interpret=interpret)
+        sh = NamedSharding(mesh, PartitionSpec("env", None))
+        fields = tuple(jax.device_put(f, sh) for f in fields)
+        if planes is not None:
+            planes = tuple(jax.device_put(p, sh) for p in planes)
+
+            def chunk(seed_k, m, fields):
+                return sharded(seed_k, m, fields, planes)
+        else:
+            def chunk(seed_k, m, fields):
+                return sharded(seed_k, m, fields)
+    elif isinstance(cfg, tuple):
         def chunk(seed_k, m, fields):
             return multigrid_learner_chunk(cfg, seed_k, m, planes, fields,
                                            batch, chunk_len, gamma=gamma,
                                            interpret=interpret)
     else:
-        fields = init_state_fields(cfg, batch)
-
         def chunk(seed_k, m, fields):
             return learner_chunk(cfg, seed_k, m, fields, batch, chunk_len,
                                  gamma=gamma, interpret=interpret)

@@ -23,6 +23,7 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -131,6 +132,95 @@ def sharded_minimax_train_fn(cfg: EnvConfig, lcfg, mesh: Mesh, n_steps: int,
 
     fn = jax.shard_map(local, mesh=mesh, in_specs=(specs,),
                        out_specs=(specs, P()))
+    return jax.jit(fn)
+
+
+def sharded_learner_chunk_fn(cfg, mesh: Mesh, batch: int, n_steps: int,
+                             gamma: float = 0.99, interpret: bool = False,
+                             axis: str = "env"):
+    """Data-parallel FUSED learner chunks (ops/learner_kernel): the lane
+    batch is sharded over the mesh, each device runs its own pallas chunk
+    (per-shard PRNG seed decorrelated by axis index), and the TD/count
+    accumulators are all-reduced with psum over ICI — so the replicated
+    between-chunk update (count-normalized Q backup + game re-solve) sees
+    the WHOLE batch's statistics, exactly like a single-device run over
+    the combined batch.  ``cfg`` may be a tuple (multigrid mode; pass the
+    matching ``planes`` argument from init_state_fields).
+
+    Returns a jitted ``fn(seed, m, fields [, planes]) -> (fields, acc,
+    stats)`` where fields are sharded [batch/128, 128] planes and acc is
+    replicated."""
+    from ..ops import learner_kernel as lk
+    n_dev = mesh.shape[axis]
+    assert batch % (n_dev * 128) == 0, \
+        f"batch must be a multiple of {n_dev * 128} on this mesh"
+    bpd = batch // n_dev
+    fspec = P(axis, None)
+    is_mg = isinstance(cfg, tuple)
+
+    def _shard_seed(seed):
+        ax = jax.lax.axis_index(axis).astype(jnp.int32)
+        return jnp.asarray(seed, jnp.int32) ^ (ax * jnp.int32(0x61C88647))
+
+    def _reduce(fields, acc, stats):
+        return (fields, jax.lax.psum(acc, axis),
+                tuple(jax.lax.psum(s, axis) for s in stats))
+
+    if is_mg:
+        def local(seed, m, fields, planes):
+            out = lk.multigrid_learner_chunk(
+                cfg, _shard_seed(seed), m, planes, fields, bpd, n_steps,
+                gamma=gamma, interpret=interpret)
+            return _reduce(*out)
+
+        fn = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), P(), (fspec,) * 6, (fspec,) * 6),
+            out_specs=((fspec,) * 6, P(), (P(),) * 3),
+            check_vma=False)  # pallas out_shapes carry no vma
+    else:
+        def local(seed, m, fields):
+            out = lk.learner_chunk(
+                cfg, _shard_seed(seed), m, fields, bpd, n_steps,
+                gamma=gamma, interpret=interpret)
+            return _reduce(*out)
+
+        fn = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), P(), (fspec,) * 6),
+            out_specs=((fspec,) * 6, P(), (P(),) * 3),
+            check_vma=False)
+    return jax.jit(fn)
+
+
+def sharded_altq_chunk_fn(cfg: EnvConfig, mesh: Mesh, batch: int,
+                          n_steps: int, gamma: float = 0.99,
+                          interpret: bool = False, axis: str = "env"):
+    """Data-parallel fused ALTERNATING-turn learner chunks
+    (ops/altq_kernel) — same layout as sharded_learner_chunk_fn."""
+    from ..ops import altq_kernel as ak
+    n_dev = mesh.shape[axis]
+    assert batch % (n_dev * 128) == 0, \
+        f"batch must be a multiple of {n_dev * 128} on this mesh"
+    bpd = batch // n_dev
+    fspec = P(axis, None)
+
+    def local(seed, eps_int, m, fields, step_offset):
+        ax = jax.lax.axis_index(axis).astype(jnp.int32)
+        sseed = (jnp.asarray(seed, jnp.int32)
+                 ^ (ax * jnp.int32(0x61C88647)))
+        fields, acc, stats = ak.altq_chunk(
+            cfg, sseed, eps_int, m, fields, bpd, n_steps, gamma=gamma,
+            step_offset=step_offset, interpret=interpret)
+        acc = jax.lax.psum(acc, axis)
+        stats = tuple(jax.lax.psum(s, axis) for s in stats)
+        return fields, acc, stats
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(), (fspec,) * 7, P()),
+        out_specs=((fspec,) * 7, P(), (P(),) * 3),
+        check_vma=False)
     return jax.jit(fn)
 
 
