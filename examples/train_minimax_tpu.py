@@ -62,6 +62,10 @@ def main():
     ap.add_argument("--fused", action="store_true",
                     help="use the pallas fused learner kernel "
                          "(ops/learner_kernel.py, ~40x faster on-chip)")
+    ap.add_argument("--multigrid", action="store_true",
+                    help="train ONE concatenated table over a mixed "
+                         "5x4+6x5 batch through the fused multigrid "
+                         "kernel and report per-variant exploitability")
     ap.add_argument("--converge", action="store_true",
                     help="run the verified equilibrium recipe (2.1B steps, "
                          "~2 min on one v5e chip): lr=1.0 Bellman-backup "
@@ -69,6 +73,31 @@ def main():
                          "exploitability ~0.004 vs the exact solver's "
                          "~0.002 (BASELINE.md)")
     args = ap.parse_args()
+
+    if args.multigrid:
+        from gym_soccer_tpu.core import tables
+        from gym_soccer_tpu.ops import learner_kernel as lk
+        cfgs = (EnvConfig(5, 4, 0.2), EnvConfig(6, 5, 0.2))
+        n_chunks = max(2, args.steps // 64)
+        t0 = time.perf_counter()
+        q, v, pa, pb, hist = lk.fused_minimax_train(
+            cfgs, batch=args.envs, n_chunks=n_chunks, chunk_len=64,
+            lr=1.0, eps=0.2, lr_anneal_start=n_chunks // 2,
+            lr_anneal_tau=25.0, lr_anneal_pow=1.5,
+            final_solver_iters=2000)
+        dt = time.perf_counter() - t0
+        steps = n_chunks * 64 * args.envs
+        off = 0
+        per_variant = {}
+        for c in cfgs:
+            nS = tables.build_statespace(c).nS
+            ex = exploitability(c, pa[off:off + nS], pb[off:off + nS])
+            per_variant[f"{c.width}x{c.height}"] = round(float(ex), 4)
+            off += nS
+        log_json(event="finished_multigrid", env_steps=steps,
+                 seconds=round(dt, 1), env_steps_per_s=round(steps / dt),
+                 exploitability_per_variant=per_variant)
+        return
 
     if args.converge:
         from gym_soccer_tpu.ops import learner_kernel as lk

@@ -198,6 +198,28 @@ def bench_pallas_minimax_learner(quick):
     return B * T * K / dt
 
 
+def bench_pallas_iql_learner(quick):
+    """Fused independent-Q learner (both players' act/step/TD on-chip)."""
+    from gym_soccer_tpu.core import tables
+    from gym_soccer_tpu.ops import iql_kernel as ik
+    B, T = 8192, 64
+    K = 4 if quick else 16
+    nS = tables.build_statespace(CFG).nS
+    m = ik.pack_iql_m(CFG, jnp.zeros((nS, 5)), jnp.zeros((nS, 5)))
+    fields0 = ik.init_iql_state_fields(CFG, B)
+    eps = int(0.3 * 65536)
+
+    def run():
+        fields = fields0
+        for k in range(K):
+            fields, acc, stats = ik.iql_chunk(CFG, k, eps, m, fields, B, T,
+                                              step_offset=k * T)
+        fetch(acc.sum())
+
+    dt = timed(run)
+    return B * T * K / dt
+
+
 def bench_pallas_multigrid_learner(quick):
     """Fused minimax-Q learner over a MIXED-geometry batch (one kernel,
     geometry and table offsets as per-lane planes)."""
@@ -374,6 +396,7 @@ def main():
         ("xla_alternating_engine", bench_alternating),
         ("xla_altq_learner", bench_altq_learner),
         ("pallas_minimax_learner", bench_pallas_minimax_learner),
+        ("pallas_iql_learner", bench_pallas_iql_learner),
         ("pallas_multigrid_learner", bench_pallas_multigrid_learner),
         ("pallas_altq_learner", bench_pallas_altq_learner),
         ("parity_bit_exact", bench_parity),
