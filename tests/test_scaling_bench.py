@@ -17,11 +17,16 @@ from tools.bench_scaling import sweep
 def test_scaling_sweep_smoke():
     rows = sweep([1, 2], envs_per_device=64, n_steps=10, reps=1)
 
-    assert {r["path"] for r in rows} == {"rollout", "minimax_train"}
+    assert {r["path"] for r in rows} == {"rollout", "minimax_train",
+                                         "fused_learner_chunk"}
     assert {r["n_devices"] for r in rows} == {1, 2}
     for r in rows:
         assert r["steps_per_s"] > 0
-        assert r["n_envs"] == 64 * r["n_devices"]
+        if r["path"] == "fused_learner_chunk":
+            # clamped to the pallas chunk's 128-lane minimum per device
+            assert r["n_envs"] == 128 * r["n_devices"]
+        else:
+            assert r["n_envs"] == 64 * r["n_devices"]
     effs = [r["efficiency_vs_linear"] for r in rows]
     assert len(effs) == len(rows)  # every row got an efficiency
     assert all(e > 0 for e in effs)

@@ -129,6 +129,35 @@ def sweep(device_counts, envs_per_device=2048, n_steps=200, reps=3):
         rows.append({"path": "minimax_train", "n_devices": n, "n_envs": B,
                      "steps_per_s": B * n_steps / dt})
 
+        # --- sharded FUSED learner chunks (pallas kernels per device,
+        # psum'd accumulators).  Off-TPU the kernels run in interpret
+        # mode, which is orders of magnitude slower than the chip — sizes
+        # are clamped so the proxy run stays tractable; on --real the
+        # full sizes apply.
+        from jax.sharding import NamedSharding, PartitionSpec
+        from gym_soccer_tpu.ops import learner_kernel as lk
+        interpret = jax.default_backend() != "tpu"
+        f_epd = max(128, min(envs_per_device, 256) if interpret
+                    else envs_per_device)
+        f_T = min(n_steps, 8) if interpret else n_steps
+        fB = f_epd * n
+        mm = lk.pack_m(cfg, uniform, uniform, jnp.zeros((nS, 5, 5)),
+                       jnp.zeros(nS), eps=0.3)
+        sh = NamedSharding(m, PartitionSpec("env", None))
+        fields = tuple(jax.device_put(f, sh)
+                       for f in lk.init_state_fields(cfg, fB))
+        chunkf = pmesh.sharded_learner_chunk_fn(cfg, m, fB, f_T,
+                                                interpret=interpret)
+
+        def run_fused():
+            nonlocal fields
+            fields, acc, stats = chunkf(0, mm, fields)
+            np.asarray(acc)
+
+        dt = _timed(run_fused, reps)
+        rows.append({"path": "fused_learner_chunk", "n_devices": n,
+                     "n_envs": fB, "steps_per_s": fB * f_T / dt})
+
     # efficiency vs linear extrapolation of the 1-device number
     base = {r["path"]: r["steps_per_s"] for r in rows if r["n_devices"] == 1}
     for r in rows:
