@@ -59,6 +59,9 @@ def main():
     ap.add_argument("--envs", type=int, default=8192)
     ap.add_argument("--chunk", type=int, default=1000)
     ap.add_argument("--ckpt", type=str, default="")
+    ap.add_argument("--interpret", action="store_true",
+                    help="run the pallas kernels in interpret mode "
+                         "(CPU smoke testing)")
     ap.add_argument("--fused", action="store_true",
                     help="use the pallas fused learner kernel "
                          "(ops/learner_kernel.py, ~40x faster on-chip)")
@@ -84,7 +87,7 @@ def main():
             cfgs, batch=args.envs, n_chunks=n_chunks, chunk_len=64,
             lr=1.0, eps=0.2, lr_anneal_start=n_chunks // 2,
             lr_anneal_tau=25.0, lr_anneal_pow=1.5,
-            final_solver_iters=2000)
+            final_solver_iters=2000, interpret=args.interpret)
         dt = time.perf_counter() - t0
         steps = n_chunks * 64 * args.envs
         off = 0
@@ -107,7 +110,7 @@ def main():
             cfg, batch=65536, n_chunks=1000, chunk_len=32,
             lr=1.0, eps=0.2, lr_anneal_start=500, lr_anneal_tau=25.0,
             lr_anneal_pow=1.5, solver_iters=400, final_solver_iters=3000,
-            seed=1)
+            seed=1, interpret=args.interpret)
         dt = time.perf_counter() - t0
         steps = 1000 * 32 * 65536
         log_json(event="finished_converge", env_steps=steps,
@@ -119,17 +122,46 @@ def main():
         return
 
     if args.fused:
+        import jax.numpy as jnp
+        from gym_soccer_tpu.core import tables
         from gym_soccer_tpu.ops import learner_kernel as lk
         cfg = EnvConfig(width=5, height=4, slip_prob=0.2)
         n_chunks = max(1, args.steps // 64)
+        # Exact checkpoint/resume: --ckpt stores the trainer's resume
+        # state; re-running with the same --steps/--envs continues
+        # BIT-IDENTICALLY to an uninterrupted run (the resumed segment
+        # keys its PRNG seeds and lr/eps schedules off the absolute
+        # chunk index).
+        start, init_tabs, fields0 = 0, None, None
+        if args.ckpt and os.path.exists(args.ckpt):
+            nS = tables.build_statespace(cfg).nS
+            tmpl = {"q": jnp.zeros((nS, 5, 5), jnp.float32),
+                    "v": jnp.zeros(nS, jnp.float32),
+                    "pi_a": jnp.zeros((nS, 5), jnp.float32),
+                    "pi_b": jnp.zeros((nS, 5), jnp.float32),
+                    "n": jnp.zeros((nS, 5, 5), jnp.float32),
+                    "fields": lk.init_state_fields(cfg, args.envs),
+                    "next_chunk": 0}
+            r = checkpoint.load_pytree(args.ckpt, tmpl)
+            start = int(r["next_chunk"])
+            init_tabs = (r["q"], r["v"], r["pi_a"], r["pi_b"], r["n"])
+            fields0 = r["fields"]
+            log_json(event="resumed_fused", chunk=start,
+                     env_steps=start * 64 * args.envs)
         t0 = time.perf_counter()
-        q, v, pa, pb, hist = lk.fused_minimax_train(
-            cfg, batch=args.envs, n_chunks=n_chunks, chunk_len=64,
-            lr=1.0, eps=0.2,
+        q, v, pa, pb, hist, res = lk.fused_minimax_train(
+            cfg, batch=args.envs, n_chunks=max(n_chunks - start, 1),
+            chunk_len=64, lr=1.0, eps=0.2,
             lr_anneal_start=n_chunks // 2, lr_anneal_tau=25.0,
-            lr_anneal_pow=1.5, final_solver_iters=2000)
+            lr_anneal_pow=1.5, final_solver_iters=2000,
+            start_chunk=start, init=init_tabs, fields_init=fields0,
+            return_state=True, interpret=args.interpret)
+        if args.ckpt:
+            checkpoint.save_pytree(args.ckpt, res)
+            log_json(event="checkpointed", path=args.ckpt,
+                     chunk=int(res["next_chunk"]))
         dt = time.perf_counter() - t0
-        steps = n_chunks * 64 * args.envs
+        steps = max(n_chunks - start, 1) * 64 * args.envs
         log_json(event="finished_fused", env_steps=steps,
                  seconds=round(dt, 1),
                  env_steps_per_s=round(steps / dt),

@@ -553,7 +553,10 @@ def fused_minimax_train(cfg, batch: int, n_chunks: int,
                         interpret: bool = False,
                         single_dispatch: bool = False,
                         init: tuple | None = None,
-                        mesh=None):
+                        mesh=None,
+                        start_chunk: int = 0,
+                        fields_init: tuple | None = None,
+                        return_state: bool = False):
     """Chunked fused minimax-Q training.  Returns (q, v, pi_a, pi_b,
     stats_history).  Semantics match agents/learners.minimax_train with
     resolve_every == chunk_len (chunk-stale TD baselines).
@@ -590,6 +593,22 @@ def fused_minimax_train(cfg, batch: int, n_chunks: int,
     start — resume a previous run or chain phases with different lr/eps
     schedules (annealed fine-tuning measurably improves final
     exploitability).
+
+    ``start_chunk``/``fields_init``/``return_state`` give EXACT
+    checkpoint/resume (utils/checkpoint.py is the serializer): with
+    ``return_state=True`` a sixth element ``resume`` is returned — a dict
+    of (q, v, pi_a, pi_b, n, fields, next_chunk), the raw loop state
+    BEFORE any avg_after/final_solver_iters post-processing — and a
+    follow-up call with
+    ``init=(resume['q'], resume['v'], resume['pi_a'], resume['pi_b'],
+    resume['n'])``, ``fields_init=resume['fields']``,
+    ``start_chunk=resume['next_chunk']`` continues BIT-IDENTICALLY to an
+    uninterrupted run (chunk PRNG seeds, lr/eps schedules and the packed
+    M all key off the absolute chunk index; on resume M is repacked with
+    the epsilon chunk ``start_chunk`` saw in the continuous run, i.e.
+    decayed at index start_chunk-1).  ``avg_after`` averaging windows are
+    per-call: a resumed call restarts its strategy average at its own
+    ``avg_after`` (pass absolute chunk indices to keep schedules aligned).
 
     ``single_dispatch`` wraps the whole run in one jitted lax.scan —
     minimal dispatch overhead, but the long scan over pallas_call bodies
@@ -631,6 +650,8 @@ def fused_minimax_train(cfg, batch: int, n_chunks: int,
         planes, fields = init_state_fields(cfg, batch)
     else:
         fields = init_state_fields(cfg, batch)
+    if fields_init is not None:
+        fields = tuple(jnp.asarray(f) for f in fields_init)
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
@@ -657,6 +678,16 @@ def fused_minimax_train(cfg, batch: int, n_chunks: int,
             return learner_chunk(cfg, seed_k, m, fields, batch, chunk_len,
                                  gamma=gamma, interpret=interpret)
 
+    if mesh is not None:
+        # State-sharded re-solve: the solve's natural axis is the STATE,
+        # not the env batch — each device solves nS/N games (bit-identical
+        # results; see parallel/mesh.sharded_solve_fn).
+        from ..parallel.mesh import sharded_solve_fn
+        solve = sharded_solve_fn(mesh, solver_iters)
+    else:
+        def solve(q):
+            return solve_matrix_games(q, iters=solver_iters)
+
     @jax.jit
     def between(q, n, acc, lr_now, eps_now):
         """Everything between kernel chunks in ONE jitted dispatch
@@ -668,7 +699,7 @@ def fused_minimax_train(cfg, batch: int, n_chunks: int,
         if count_lr_tau > 0:
             lr_cell = lr_now * (1.0 + n / count_lr_tau) ** (-count_lr_pow)
         q = q + lr_cell * sum_td / jnp.maximum(cnt, 1.0)
-        v, pa, pb = solve_matrix_games(q, iters=solver_iters)
+        v, pa, pb = solve(q)
         return q, n, v, pa, pb, pack_m(cfg, pa, pb, q, v, eps_now)
 
     def decay(base, hl, k, floor=0.0):
@@ -684,7 +715,19 @@ def fused_minimax_train(cfg, batch: int, n_chunks: int,
             d = d * (1.0 + over / lr_anneal_tau) ** (-lr_anneal_pow)
         return d
 
-    m0 = pack_m(cfg, pi_a, pi_b, q, v, eps)
+    # On resume, chunk ``start_chunk`` must see the M the continuous run's
+    # `between` packed after chunk start_chunk-1 — i.e. with THAT chunk's
+    # decayed epsilon (exact resume therefore also wants the checkpoint
+    # segment run with final_solver_iters=0, the default, so the restored
+    # pi/v are `between`'s own outputs).
+    # (f32 scalar to match `between`'s jnp.float32 eps_now bit-for-bit;
+    # the exact-resume contract is for the default per-chunk dispatch
+    # mode — single_dispatch recomputes schedules in-graph in f32, which
+    # can differ from the host f64 schedule by an ulp.)
+    eps0 = eps if start_chunk == 0 else jnp.float32(
+        decay(eps, eps_halflife, start_chunk - 1, eps_min))
+    m0 = jax.jit(pack_m, static_argnums=(0,))(cfg, pi_a, pi_b, q, v, eps0)
+    end_chunk = start_chunk + n_chunks
 
     if single_dispatch:
         @jax.jit
@@ -701,11 +744,11 @@ def fused_minimax_train(cfg, batch: int, n_chunks: int,
 
             (fields, q, n, v, pa, pb, m), stats = jax.lax.scan(
                 chunk_body, (fields, q, n, v, pi_a, pi_b, m),
-                jnp.arange(n_chunks))
-            return q, n, v, pa, pb, stats
+                jnp.arange(start_chunk, end_chunk))
+            return fields, q, n, v, pa, pb, stats
 
-        q, n, v, pi_a, pi_b, stats = whole_run(fields, q, n, v, pi_a,
-                                               pi_b, m0)
+        fields, q, n, v, pi_a, pi_b, stats = whole_run(fields, q, n, v,
+                                                       pi_a, pi_b, m0)
         history = [tuple(int(x) for x in row) for row in np.asarray(stats)]
     else:
         m = m0
@@ -716,7 +759,7 @@ def fused_minimax_train(cfg, batch: int, n_chunks: int,
         def accum(s, x):
             return x if s is None else s + x
 
-        for k in range(n_chunks):
+        for k in range(start_chunk, end_chunk):
             fields, acc, stats = chunk(seed * 1_000_003 + k, m, fields)
             q, n, v, pi_a, pi_b, m = between(
                 q, n, acc, jnp.float32(lr_at(k)),
@@ -724,16 +767,27 @@ def fused_minimax_train(cfg, batch: int, n_chunks: int,
             if avg_after and k >= avg_after:
                 pa_sum = pi_a if pa_sum is None else accum(pa_sum, pi_a)
                 pb_sum = pi_b if pb_sum is None else accum(pb_sum, pi_b)
-            if k % 16 == 0 or k == n_chunks - 1:
+            if k % 16 == 0 or k == end_chunk - 1:
                 # keep device scalars — a host int() here would drain the
                 # whole async dispatch pipeline every 16 chunks (the relay
                 # makes that the dominant wall-clock cost)
                 history.append(stats)
+        raw_pis = (pi_a, pi_b)
         if avg_after and pa_sum is not None:
             norm = jax.jit(lambda s: s / s.sum(-1, keepdims=True))
             pi_a, pi_b = norm(pa_sum), norm(pb_sum)
         history = [tuple(int(np.asarray(x)) for x in row) for row in history]
+    if single_dispatch:
+        raw_pis = (pi_a, pi_b)
+    # Resume state captures `between`'s raw loop outputs BEFORE the
+    # avg_after / final_solver_iters post-processing below can replace
+    # pi/v — a continuation must see exactly what the next chunk of an
+    # uninterrupted run would have seen.
+    resume = {"q": q, "v": v, "pi_a": raw_pis[0], "pi_b": raw_pis[1],
+              "n": n, "fields": fields, "next_chunk": end_chunk}
     if final_solver_iters and not (avg_after and not single_dispatch):
         v, pi_a, pi_b = jax.jit(
             lambda q: solve_matrix_games(q, iters=final_solver_iters))(q)
+    if return_state:
+        return q, v, pi_a, pi_b, history, resume
     return q, v, pi_a, pi_b, history

@@ -135,6 +135,44 @@ def sharded_minimax_train_fn(cfg: EnvConfig, lcfg, mesh: Mesh, n_steps: int,
     return jax.jit(fn)
 
 
+def sharded_solve_fn(mesh: Mesh, iters: int, axis: str = "env"):
+    """Shard the all-states zero-sum matrix-game re-solve over the mesh
+    STATE-wise.
+
+    The between-chunk RM+ re-solve (agents/learners.solve_matrix_games)
+    is the one compute stage in this workload whose natural axis is NOT
+    the env batch: it iterates ``iters`` regret-matching steps over every
+    state's 5x5 payoff matrix (nS x iters work, independent per state).
+    Replicating it wastes (N-1)/N of the mesh during the solve; here each
+    device solves nS/N states and the jit-level consumer gathers the
+    strategy tables back (one all_gather of ~nS*11 floats per chunk,
+    riding ICI).  Per-state arithmetic is untouched, so results are
+    BIT-IDENTICAL to the replicated solve — the honest analogue of
+    tensor/model parallelism for a tabular learner (docs/PARALLELISM.md).
+
+    Returns a jitted ``fn(q [nS, 5, 5]) -> (v [nS], x [nS, 5],
+    y [nS, 5])``; nS need not divide the mesh (zero-padded states solve to
+    uniform strategies and are dropped)."""
+    from ..agents.learners import solve_matrix_games
+    n_dev = mesh.shape[axis]
+
+    inner = jax.shard_map(
+        lambda qp: solve_matrix_games(qp, iters=iters),
+        mesh=mesh, in_specs=(P(axis),),
+        out_specs=(P(axis), P(axis), P(axis)),
+        check_vma=False)  # solver-internal zeros are axis-unvarying
+
+    @jax.jit
+    def fn(q):
+        nS = q.shape[0]
+        pad = (-nS) % n_dev
+        qp = jnp.pad(q, ((0, pad), (0, 0), (0, 0))) if pad else q
+        v, x, y = inner(qp)
+        return v[:nS], x[:nS], y[:nS]
+
+    return fn
+
+
 def sharded_learner_chunk_fn(cfg, mesh: Mesh, batch: int, n_steps: int,
                              gamma: float = 0.99, interpret: bool = False,
                              axis: str = "env"):

@@ -44,3 +44,21 @@ def test_alternating_demo():
     assert events["tables"]["nS"] == 1521
     assert events["best_response_vs_random"]["losses"] == 0
     assert events["best_response_vs_random"]["win_rate"] > 0.95
+
+
+def test_train_fused_checkpoint_resume(tmp_path):
+    """The flagship fused trainer checkpoints and resumes exactly:
+    a second invocation with a larger --steps picks up at the saved
+    chunk (interpret-mode kernels, tiny batch)."""
+    ck = str(tmp_path / "fused_ck.npz")
+    ev1 = _events(_run("examples/train_minimax_tpu.py", "--fused",
+                       "--interpret", "--steps", "128", "--envs", "256",
+                       "--ckpt", ck))
+    assert ev1["checkpointed"]["chunk"] == 2
+    assert "resumed_fused" not in ev1
+    ev2 = _events(_run("examples/train_minimax_tpu.py", "--fused",
+                       "--interpret", "--steps", "256", "--envs", "256",
+                       "--ckpt", ck))
+    assert ev2["resumed_fused"]["chunk"] == 2
+    assert ev2["checkpointed"]["chunk"] == 4
+    assert ev2["finished_fused"]["env_steps"] == 2 * 64 * 256

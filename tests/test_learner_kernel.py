@@ -138,3 +138,38 @@ def test_fused_training_warm_start():
     assert np.array_equal(np.asarray(q), np.asarray(q0))
     assert not np.allclose(np.asarray(pa), 0.2, atol=1e-3), \
         "policies should re-solve the init Q, not stay uniform"
+
+
+def test_fused_training_exact_resume():
+    """Checkpoint/resume on the flagship trainer: 3+3 chunks across a
+    utils/checkpoint save/load roundtrip must be BIT-IDENTICAL to 6
+    uninterrupted chunks (absolute-chunk-index PRNG seeds + schedules,
+    env fields carried through, M repacked with the continuous run's
+    epsilon)."""
+    import os
+    import tempfile
+    from gym_soccer_tpu.utils import checkpoint as ckpt
+    kw = dict(batch=512, chunk_len=4, lr=0.5, eps=0.4, eps_halflife=32,
+              lr_anneal_start=2, lr_anneal_tau=4.0, solver_iters=30,
+              seed=7, interpret=True)
+    qc, vc, pac, pbc, _, res_c = lk.fused_minimax_train(
+        CFG, n_chunks=6, return_state=True, **kw)
+
+    _, _, _, _, _, r1 = lk.fused_minimax_train(
+        CFG, n_chunks=3, return_state=True, **kw)
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "ck.npz")
+        ckpt.save_pytree(p, r1)
+        r1 = ckpt.load_pytree(p, r1)
+    q, v, pa, pb, _, res = lk.fused_minimax_train(
+        CFG, n_chunks=3, return_state=True,
+        init=(r1["q"], r1["v"], r1["pi_a"], r1["pi_b"], r1["n"]),
+        fields_init=r1["fields"], start_chunk=int(r1["next_chunk"]), **kw)
+
+    assert int(res["next_chunk"]) == int(res_c["next_chunk"]) == 6
+    assert np.array_equal(np.asarray(q), np.asarray(qc))
+    assert np.array_equal(np.asarray(v), np.asarray(vc))
+    assert np.array_equal(np.asarray(pa), np.asarray(pac))
+    assert np.array_equal(np.asarray(pb), np.asarray(pbc))
+    for a, b in zip(res["fields"], res_c["fields"]):
+        assert np.array_equal(np.asarray(a), np.asarray(b))

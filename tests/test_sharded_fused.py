@@ -122,3 +122,19 @@ def test_sharded_multigrid_chunk_accumulates_exactly():
     nS0 = tables.build_statespace(CFG).nS
     assert cnt[:nS0].sum() == (B // 2) * T
     assert cnt[nS0:].sum() == (B // 2) * T
+
+
+def test_sharded_solve_matches_replicated_bitexact():
+    """The state-sharded RM+ re-solve (the workload's one model-parallel
+    stage) must return exactly what the replicated solver returns —
+    per-state arithmetic is untouched, only the state batch is
+    partitioned (761 states over 8 devices exercises the padding path)."""
+    from gym_soccer_tpu.agents import learners
+    mesh = pmesh.env_mesh()
+    nS = tables.build_statespace(CFG).nS
+    rng = np.random.RandomState(3)
+    q = jnp.asarray(rng.uniform(-1, 1, (nS, 5, 5)).astype(np.float32))
+    want = jax.jit(lambda q: learners.solve_matrix_games(q, iters=120))(q)
+    got = pmesh.sharded_solve_fn(mesh, iters=120)(q)
+    for g, w in zip(got, want):
+        assert np.array_equal(np.asarray(g), np.asarray(w))
