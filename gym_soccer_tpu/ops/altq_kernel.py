@@ -314,7 +314,9 @@ def fused_altq_train(cfg: EnvConfig, batch: int, n_chunks: int,
                      eps_min: float = 0.0, eps_halflife: int = 0,
                      lr_anneal_start: int = 0, lr_anneal_tau: float = 0.0,
                      lr_anneal_pow: float = 1.0, seed: int = 0,
-                     interpret: bool = False, init=None, mesh=None):
+                     interpret: bool = False, init=None, mesh=None,
+                     start_chunk: int = 0, fields_init=None,
+                     return_state: bool = False):
     """Chunked fused alternating-turn Q-learning.  Returns (q,
     stats_history); ``q`` [nS_alt, 5] has `alt_value_iteration`'s exact
     minimax values as its fixpoint (extract a policy with
@@ -327,13 +329,25 @@ def fused_altq_train(cfg: EnvConfig, batch: int, n_chunks: int,
     ``init`` optionally warm-starts q (an [nS_alt, 5] array).  ``mesh``
     (a jax.sharding.Mesh with an 'env' axis) DP-shards the lane batch:
     per-device fused chunks with psum'd accumulators
-    (parallel/mesh.sharded_altq_chunk_fn)."""
+    (parallel/mesh.sharded_altq_chunk_fn).
+
+    ``start_chunk``/``fields_init``/``return_state`` give EXACT
+    checkpoint/resume (see ops/learner_kernel.fused_minimax_train): with
+    ``return_state=True`` a third element ``resume`` is returned — a
+    dict of (q, fields, next_chunk) — and a follow-up call with
+    ``init=resume['q']``, ``fields_init=resume['fields']``,
+    ``start_chunk=resume['next_chunk']`` continues bit-identically to an
+    uninterrupted run (chunk PRNG seeds, the in-kernel step_offset and
+    the lr/eps schedules all key off the absolute chunk index; M packs
+    from q alone, so no schedule state needs recovering)."""
     from ..envs.soccer_alternating_env import build_alt_tables
     nS = build_alt_tables(cfg).nS
     q = (jnp.zeros((nS, N_ACTIONS), jnp.float32) if init is None
          else jnp.asarray(init, jnp.float32))
     assert q.shape == (nS, N_ACTIONS)
     fields = init_alt_state_fields(cfg, batch)
+    if fields_init is not None:
+        fields = tuple(jnp.asarray(f) for f in fields_init)
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
@@ -371,12 +385,16 @@ def fused_altq_train(cfg: EnvConfig, batch: int, n_chunks: int,
 
     m = pack_alt_m(cfg, q)
     history = []
-    for k in range(n_chunks):
+    end_chunk = start_chunk + n_chunks
+    for k in range(start_chunk, end_chunk):
         fields, acc, stats = chunk(
             seed * 1_000_003 + k, int(round(eps_at(k) * 65536)),
             m, fields, k * chunk_len)
         q, m = between(q, acc, jnp.float32(lr_at(k)))
-        if k % 16 == 0 or k == n_chunks - 1:
+        if k % 16 == 0 or k == end_chunk - 1:
             history.append(stats)  # device scalars; fetched at the end
     history = [tuple(int(np.asarray(x)) for x in row) for row in history]
+    if return_state:
+        return q, history, {"q": q, "fields": fields,
+                            "next_chunk": end_chunk}
     return q, history

@@ -271,9 +271,24 @@ def fused_iql_train(cfg: EnvConfig, batch: int, n_chunks: int,
                     eps_min: float = 0.0, eps_halflife: int = 0,
                     lr_anneal_start: int = 0, lr_anneal_tau: float = 0.0,
                     lr_anneal_pow: float = 1.0, seed: int = 0,
-                    interpret: bool = False, init=None):
+                    interpret: bool = False, init=None, mesh=None,
+                    start_chunk: int = 0, fields_init=None,
+                    return_state: bool = False):
     """Chunked fused independent-Q self-play.  Returns (q_a, q_b,
-    stats_history).  ``init`` optionally warm-starts (q_a, q_b)."""
+    stats_history).  ``init`` optionally warm-starts (q_a, q_b).
+
+    ``mesh`` (a jax.sharding.Mesh with an 'env' axis) DP-shards the lane
+    batch: per-device fused chunks with psum'd accumulators
+    (parallel/mesh.sharded_iql_chunk_fn).
+
+    ``start_chunk``/``fields_init``/``return_state`` give EXACT
+    checkpoint/resume (see ops/learner_kernel.fused_minimax_train): with
+    ``return_state=True`` a fourth element ``resume`` is returned — a
+    dict of (q_a, q_b, fields, next_chunk) — and a follow-up call with
+    ``init=(resume['q_a'], resume['q_b'])``,
+    ``fields_init=resume['fields']``,
+    ``start_chunk=resume['next_chunk']`` continues bit-identically to an
+    uninterrupted run."""
     from ..core import tables
     nS = tables.build_statespace(cfg).nS
     if init is None:
@@ -283,6 +298,24 @@ def fused_iql_train(cfg: EnvConfig, batch: int, n_chunks: int,
         q_a, q_b = (jnp.asarray(x, jnp.float32) for x in init)
     assert q_a.shape == (nS, N_ACTIONS)
     fields = init_iql_state_fields(cfg, batch)
+    if fields_init is not None:
+        fields = tuple(jnp.asarray(f) for f in fields_init)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        from ..parallel.mesh import sharded_iql_chunk_fn
+        sharded = sharded_iql_chunk_fn(cfg, mesh, batch, chunk_len,
+                                       gamma=gamma, interpret=interpret)
+        sh = NamedSharding(mesh, PartitionSpec("env", None))
+        fields = tuple(jax.device_put(f, sh) for f in fields)
+
+        def chunk(seed_k, eps_int, m, fields, step_offset):
+            return sharded(seed_k, eps_int, m, fields, step_offset)
+    else:
+        def chunk(seed_k, eps_int, m, fields, step_offset):
+            return iql_chunk(cfg, seed_k, eps_int, m, fields, batch,
+                             chunk_len, gamma=gamma,
+                             step_offset=step_offset, interpret=interpret)
 
     @jax.jit
     def between(q_a, q_b, acc, lr_now):
@@ -305,13 +338,17 @@ def fused_iql_train(cfg: EnvConfig, batch: int, n_chunks: int,
 
     m = pack_iql_m(cfg, q_a, q_b)
     history = []
-    for k in range(n_chunks):
-        fields, acc, stats = iql_chunk(
-            cfg, seed * 1_000_003 + k, int(round(eps_at(k) * 65536)),
-            m, fields, batch, chunk_len, gamma=gamma,
-            step_offset=k * chunk_len, interpret=interpret)
+    end_chunk = start_chunk + n_chunks
+    for k in range(start_chunk, end_chunk):
+        fields, acc, stats = chunk(
+            seed * 1_000_003 + k, int(round(eps_at(k) * 65536)),
+            m, fields, k * chunk_len)
         q_a, q_b, m = between(q_a, q_b, acc, jnp.float32(lr_at(k)))
-        if k % 16 == 0 or k == n_chunks - 1:
+        if k % 16 == 0 or k == end_chunk - 1:
             history.append(stats)
     history = [tuple(int(np.asarray(x)) for x in row) for row in history]
+    if return_state:
+        return q_a, q_b, history, {"q_a": q_a, "q_b": q_b,
+                                   "fields": fields,
+                                   "next_chunk": end_chunk}
     return q_a, q_b, history

@@ -262,6 +262,38 @@ def sharded_altq_chunk_fn(cfg: EnvConfig, mesh: Mesh, batch: int,
     return jax.jit(fn)
 
 
+def sharded_iql_chunk_fn(cfg: EnvConfig, mesh: Mesh, batch: int,
+                         n_steps: int, gamma: float = 0.99,
+                         interpret: bool = False, axis: str = "env"):
+    """Data-parallel fused INDEPENDENT-Q learner chunks (ops/iql_kernel)
+    — same layout as sharded_learner_chunk_fn (6 state planes, dual-table
+    accumulator psum'd)."""
+    from ..ops import iql_kernel as ik
+    n_dev = mesh.shape[axis]
+    assert batch % (n_dev * 128) == 0, \
+        f"batch must be a multiple of {n_dev * 128} on this mesh"
+    bpd = batch // n_dev
+    fspec = P(axis, None)
+
+    def local(seed, eps_int, m, fields, step_offset):
+        ax = jax.lax.axis_index(axis).astype(jnp.int32)
+        sseed = (jnp.asarray(seed, jnp.int32)
+                 ^ (ax * jnp.int32(0x61C88647)))
+        fields, acc, stats = ik.iql_chunk(
+            cfg, sseed, eps_int, m, fields, bpd, n_steps, gamma=gamma,
+            step_offset=step_offset, interpret=interpret)
+        acc = jax.lax.psum(acc, axis)
+        stats = tuple(jax.lax.psum(s, axis) for s in stats)
+        return fields, acc, stats
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(), (fspec,) * 6, P()),
+        out_specs=((fspec,) * 6, P(), (P(),) * 3),
+        check_vma=False)
+    return jax.jit(fn)
+
+
 def sharded_altq_train_fn(cfg: EnvConfig, lcfg, mesh: Mesh, n_steps: int,
                           axis: str = "env"):
     """Data-parallel fused alternating-turn Q-learning (same layout:

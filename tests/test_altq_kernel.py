@@ -161,3 +161,30 @@ def test_altq_convergence_tpu():
     w, losses, _ = alt_policy_rollout(CFG, tb.raw_to_dense, pol, randpol,
                                       batch=256, steps=300, seed=6)
     assert w / max(w + losses, 1) > 0.95, (w, losses)
+
+
+def test_fused_altq_exact_resume():
+    """3+3 chunks across a utils/checkpoint roundtrip == 6 uninterrupted
+    chunks, bit-for-bit (seeds, eps schedule and the in-kernel
+    step_offset all key off the absolute chunk index)."""
+    import os
+    import tempfile
+    from gym_soccer_tpu.utils import checkpoint as ckpt
+    kw = dict(batch=256, chunk_len=4, lr=0.5, eps=0.4, eps_halflife=24,
+              lr_anneal_start=2, lr_anneal_tau=4.0, seed=11,
+              interpret=True)
+    qc, _, res_c = ak.fused_altq_train(CFG, n_chunks=6, return_state=True,
+                                       **kw)
+    _, _, r1 = ak.fused_altq_train(CFG, n_chunks=3, return_state=True,
+                                   **kw)
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "ck.npz")
+        ckpt.save_pytree(p, r1)
+        r1 = ckpt.load_pytree(p, r1)
+    q, _, res = ak.fused_altq_train(
+        CFG, n_chunks=3, return_state=True, init=r1["q"],
+        fields_init=r1["fields"], start_chunk=int(r1["next_chunk"]), **kw)
+    assert int(res["next_chunk"]) == int(res_c["next_chunk"]) == 6
+    assert np.array_equal(np.asarray(q), np.asarray(qc))
+    for a, b in zip(res["fields"], res_c["fields"]):
+        assert np.array_equal(np.asarray(a), np.asarray(b))

@@ -110,3 +110,31 @@ def test_fused_iql_warm_start_lr_zero():
                                      interpret=True, init=(q0a, q0b))
     assert np.array_equal(np.asarray(q_a), np.asarray(q0a))
     assert np.array_equal(np.asarray(q_b), np.asarray(q0b))
+
+
+def test_fused_iql_exact_resume():
+    """3+3 chunks across a utils/checkpoint roundtrip == 6 uninterrupted
+    chunks, bit-for-bit (same contract as the minimax and alternating
+    fused trainers)."""
+    import os
+    import tempfile
+    from gym_soccer_tpu.utils import checkpoint as ckpt
+    kw = dict(batch=256, chunk_len=4, lr=0.4, eps=0.4, eps_halflife=24,
+              lr_anneal_start=2, lr_anneal_tau=4.0, seed=13,
+              interpret=True)
+    qac, qbc, _, res_c = ik.fused_iql_train(CFG, n_chunks=6,
+                                            return_state=True, **kw)
+    _, _, _, r1 = ik.fused_iql_train(CFG, n_chunks=3, return_state=True,
+                                     **kw)
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "ck.npz")
+        ckpt.save_pytree(p, r1)
+        r1 = ckpt.load_pytree(p, r1)
+    qa, qb, _, res = ik.fused_iql_train(
+        CFG, n_chunks=3, return_state=True, init=(r1["q_a"], r1["q_b"]),
+        fields_init=r1["fields"], start_chunk=int(r1["next_chunk"]), **kw)
+    assert int(res["next_chunk"]) == int(res_c["next_chunk"]) == 6
+    assert np.array_equal(np.asarray(qa), np.asarray(qac))
+    assert np.array_equal(np.asarray(qb), np.asarray(qbc))
+    for a, b in zip(res["fields"], res_c["fields"]):
+        assert np.array_equal(np.asarray(a), np.asarray(b))

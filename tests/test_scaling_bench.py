@@ -18,13 +18,16 @@ def test_scaling_sweep_smoke():
     rows = sweep([1, 2], envs_per_device=64, n_steps=10, reps=1)
 
     assert {r["path"] for r in rows} == {"rollout", "minimax_train",
-                                         "fused_learner_chunk"}
+                                         "fused_learner_chunk",
+                                         "sharded_solve"}
     assert {r["n_devices"] for r in rows} == {1, 2}
     for r in rows:
         assert r["steps_per_s"] > 0
         if r["path"] == "fused_learner_chunk":
             # clamped to the pallas chunk's 128-lane minimum per device
             assert r["n_envs"] == 128 * r["n_devices"]
+        elif r["path"] == "sharded_solve":
+            assert r["n_envs"] == 761  # strong scaling: fixed state count
         else:
             assert r["n_envs"] == 64 * r["n_devices"]
     effs = [r["efficiency_vs_linear"] for r in rows]

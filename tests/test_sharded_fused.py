@@ -138,3 +138,23 @@ def test_sharded_solve_matches_replicated_bitexact():
     got = pmesh.sharded_solve_fn(mesh, iters=120)(q)
     for g, w in zip(got, want):
         assert np.array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_sharded_iql_chunk_accumulates_exactly():
+    mesh = pmesh.env_mesh()
+    n_dev = mesh.devices.size
+    B, T = n_dev * 256, 8
+    from gym_soccer_tpu.ops import iql_kernel as ik
+    nS = tables.build_statespace(CFG).nS
+    m = ik.pack_iql_m(CFG, jnp.zeros((nS, 5)), jnp.zeros((nS, 5)))
+    fields = ik.init_iql_state_fields(CFG, B)
+    fn = pmesh.sharded_iql_chunk_fn(CFG, mesh, B, T, interpret=True)
+    out_fields, acc, stats = fn(1, int(0.3 * 65536), m, fields, 0)
+    sa, ca, sb, cb = ik.unpack_iql_acc(CFG, acc)
+    # one visit per env per step, for EACH player's table
+    assert float(np.asarray(ca).sum()) == B * T
+    assert float(np.asarray(cb).sum()) == B * T
+    # zero-sum dual accounting: td_a sums to +R, td_b to -R
+    rew = int(np.asarray(stats[0]))
+    assert abs(float(np.asarray(sa).sum()) - rew) < 1.0
+    assert abs(float(np.asarray(sb).sum()) + rew) < 1.0

@@ -158,6 +158,25 @@ def sweep(device_counts, envs_per_device=2048, n_steps=200, reps=3):
         rows.append({"path": "fused_learner_chunk", "n_devices": n,
                      "n_envs": fB, "steps_per_s": fB * f_T / dt})
 
+        # --- state-sharded RM+ re-solve (the model-parallel stage,
+        # parallel/mesh.sharded_solve_fn): a FIXED nS-state batch of 5x5
+        # games splits across devices — strong scaling, unlike the env
+        # paths' weak scaling.  steps_per_s counts state-game RM+
+        # iterations.
+        solve_iters = 2 * n_steps
+        qrand = jax.device_put(
+            jax.random.uniform(jax.random.key(5), (nS, 5, 5),
+                               jnp.float32, -1, 1), rep)
+        solvef = pmesh.sharded_solve_fn(m, iters=solve_iters)
+
+        def run_solve():
+            v, x, y = solvef(qrand)
+            np.asarray(v)
+
+        dt = _timed(run_solve, reps)
+        rows.append({"path": "sharded_solve", "n_devices": n,
+                     "n_envs": nS, "steps_per_s": nS * solve_iters / dt})
+
     # efficiency vs linear extrapolation of the 1-device number
     base = {r["path"]: r["steps_per_s"] for r in rows if r["n_devices"] == 1}
     for r in rows:
