@@ -9,10 +9,13 @@ slip 0.2.  Primary path is the fused pallas rollout kernel
 (gym_soccer_tpu/ops/step_kernel.py) timed with the slope methodology
 (two kernel lengths, real host-fetch barriers — see CLAUDE.md on why
 naive timings lie on this tunneled backend).  The TPU attempt runs in a
-subprocess with a hard timeout because the relay occasionally wedges; on
-failure the CPU-backend XLA engine provides a clearly-labeled fallback
-line so the driver never hangs.  ``vs_baseline`` compares against the
-reference implementation's measured step loop (~2.7e4 steps/s, SURVEY §6).
+subprocess with a hard timeout because the relay occasionally wedges;
+wedges recover in ~4-6 min (CLAUDE.md), so on failure we WAIT and RETRY
+(3 attempts total, 5-min backoff) with a persistent JAX compilation
+cache so retries skip recompilation.  Only after exhausting retries does
+the CPU-backend XLA engine provide a clearly-labeled fallback line so
+the driver never hangs.  ``vs_baseline`` compares against the reference
+implementation's measured step loop (~2.7e4 steps/s, SURVEY §6).
 """
 import json
 import os
@@ -22,6 +25,8 @@ import time
 
 REFERENCE_STEPS_PER_S = 2.7e4  # reference step() loop, 1 CPU core (SURVEY §6)
 B, T = 8192, 1000
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
 
 
 def bench_device_subprocess(timeout_s: int = 480):
@@ -49,10 +54,38 @@ def bench_device_subprocess(timeout_s: int = 480):
     return None
 
 
+def bench_device_with_retries(attempts: int = 3, backoff_s: int = 300,
+                              timeout_s: int = 480):
+    """Relay wedges are transient (recover in ~4-6 min); a round's headline
+    number must not depend on ONE attempt landing outside a wedge window
+    (round 3 lesson).  Retry with a backoff sized to the recovery time."""
+    for i in range(attempts):
+        result = bench_device_subprocess(timeout_s=timeout_s)
+        if result is not None and result[1].startswith("pallas"):
+            return result
+        # A pure-XLA child result still proves the device works; keep it as
+        # a candidate but retry for the pallas path first.
+        if result is not None and i == attempts - 1:
+            return result
+        if i < attempts - 1:
+            sys.stderr.write(
+                f"bench attempt {i + 1}/{attempts} "
+                f"{'fell back to ' + result[1] if result else 'timed out'}; "
+                f"waiting {backoff_s}s for relay recovery\n")
+            sys.stderr.flush()
+            time.sleep(backoff_s)
+    return None
+
+
 def _jax():
     import jax
     if os.environ.get("BENCH_FORCE_CPU"):
         jax.config.update("jax_platforms", "cpu")
+    try:  # persistent compile cache: retries after a wedge skip warmup
+        jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass  # older jax without these flags
     return jax
 
 
@@ -120,7 +153,7 @@ def bench_xla():
 
 
 def main():
-    result = bench_device_subprocess()
+    result = bench_device_with_retries()
     if result is None:
         os.environ["BENCH_FORCE_CPU"] = "1"
         v, _ = bench_xla()

@@ -128,11 +128,14 @@ def main():
         cfg = EnvConfig(width=5, height=4, slip_prob=0.2)
         n_chunks = max(1, args.steps // 64)
         # Exact checkpoint/resume: --ckpt stores the trainer's resume
-        # state; re-running with the same --steps/--envs continues
-        # BIT-IDENTICALLY to an uninterrupted run (the resumed segment
-        # keys its PRNG seeds and lr/eps schedules off the absolute
-        # chunk index).
+        # state PLUS the anneal schedule anchor (lr_anneal_start) used by
+        # the first segment; a resumed run reuses the stored anchor, so
+        # the composite run is BIT-IDENTICAL to an uninterrupted run at
+        # the combined step count with that same anneal schedule (PRNG
+        # seeds and lr/eps schedules all key off the absolute chunk
+        # index).
         start, init_tabs, fields0 = 0, None, None
+        anneal_start = n_chunks // 2
         if args.ckpt and os.path.exists(args.ckpt):
             nS = tables.build_statespace(cfg).nS
             tmpl = {"q": jnp.zeros((nS, 5, 5), jnp.float32),
@@ -141,27 +144,35 @@ def main():
                     "pi_b": jnp.zeros((nS, 5), jnp.float32),
                     "n": jnp.zeros((nS, 5, 5), jnp.float32),
                     "fields": lk.init_state_fields(cfg, args.envs),
-                    "next_chunk": 0}
+                    "next_chunk": 0, "lr_anneal_start": 0}
             r = checkpoint.load_pytree(args.ckpt, tmpl)
             start = int(r["next_chunk"])
+            anneal_start = int(r["lr_anneal_start"])
             init_tabs = (r["q"], r["v"], r["pi_a"], r["pi_b"], r["n"])
             fields0 = r["fields"]
             log_json(event="resumed_fused", chunk=start,
-                     env_steps=start * 64 * args.envs)
+                     env_steps=start * 64 * args.envs,
+                     lr_anneal_start=anneal_start)
+        if start >= n_chunks:
+            log_json(event="already_complete", chunk=start,
+                     target_chunks=n_chunks,
+                     hint="re-run with a larger --steps to continue")
+            return
         t0 = time.perf_counter()
         q, v, pa, pb, hist, res = lk.fused_minimax_train(
-            cfg, batch=args.envs, n_chunks=max(n_chunks - start, 1),
+            cfg, batch=args.envs, n_chunks=n_chunks - start,
             chunk_len=64, lr=1.0, eps=0.2,
-            lr_anneal_start=n_chunks // 2, lr_anneal_tau=25.0,
+            lr_anneal_start=anneal_start, lr_anneal_tau=25.0,
             lr_anneal_pow=1.5, final_solver_iters=2000,
             start_chunk=start, init=init_tabs, fields_init=fields0,
             return_state=True, interpret=args.interpret)
         if args.ckpt:
+            res = dict(res, lr_anneal_start=anneal_start)
             checkpoint.save_pytree(args.ckpt, res)
             log_json(event="checkpointed", path=args.ckpt,
                      chunk=int(res["next_chunk"]))
         dt = time.perf_counter() - t0
-        steps = max(n_chunks - start, 1) * 64 * args.envs
+        steps = (n_chunks - start) * 64 * args.envs
         log_json(event="finished_fused", env_steps=steps,
                  seconds=round(dt, 1),
                  env_steps_per_s=round(steps / dt),

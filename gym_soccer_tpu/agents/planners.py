@@ -188,27 +188,31 @@ def value_iteration_jax(prob, ns, rew, done, theta, gamma,
                         max_sweeps: int = 10_000):
     """Jitted VI fixpoint (lax.while_loop).  Inputs are device arrays
     [nS, nA, K]; dtype follows `prob` (use float64 on CPU for tight
-    thetas)."""
+    thetas).
+
+    Return contract matches the reference's value_iteration (ref
+    planners.py:14-17) and the numpy twin `value_iteration_arrays`: the
+    returned V is the PRE-update V the final Q was backed up from (the
+    one satisfying max|V - max_a Q| < theta), not max_a Q itself — the
+    two differ by at most theta at convergence."""
     dt = prob.dtype
 
     def cond(carry):
-        V, Q, cc, delta = carry
+        V, prevV, Q, cc, delta = carry
         return (delta >= theta) & (cc < max_sweeps)
 
     def body(carry):
-        V, _, cc, _ = carry
+        V, _, _, cc, _ = carry
         Q = _backup_q_jax(prob, ns, rew, done, V, gamma)
         newV = Q.max(axis=1)
         delta = jnp.max(jnp.abs(V - newV))
-        return newV, Q, cc + 1, delta
+        return newV, V, Q, cc + 1, delta
 
     V0 = jnp.zeros(prob.shape[0], dtype=dt)
     Q0 = jnp.zeros(prob.shape[:2], dtype=dt)
-    V, Q, cc, _ = jax.lax.while_loop(
-        cond, body, (V0, Q0, jnp.int32(0), jnp.asarray(jnp.inf, dt)))
-    # Match the reference's loop structure: its final Q is the backup of
-    # the pre-update V, and convergence is checked against that Q.
-    return Q.argmax(axis=1), jnp.max(Q, axis=1), Q, cc
+    _, prevV, Q, cc, _ = jax.lax.while_loop(
+        cond, body, (V0, V0, Q0, jnp.int32(0), jnp.asarray(jnp.inf, dt)))
+    return Q.argmax(axis=1), prevV, Q, cc
 
 
 value_iteration_jax_jit = jax.jit(

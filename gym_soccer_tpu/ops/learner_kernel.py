@@ -717,9 +717,9 @@ def fused_minimax_train(cfg, batch: int, n_chunks: int,
 
     # On resume, chunk ``start_chunk`` must see the M the continuous run's
     # `between` packed after chunk start_chunk-1 — i.e. with THAT chunk's
-    # decayed epsilon (exact resume therefore also wants the checkpoint
-    # segment run with final_solver_iters=0, the default, so the restored
-    # pi/v are `between`'s own outputs).
+    # decayed epsilon.  The resume dict below captures the raw loop state
+    # BEFORE the avg_after/final_solver_iters post-processing, so those
+    # options do not affect resume exactness.
     # (f32 scalar to match `between`'s jnp.float32 eps_now bit-for-bit;
     # the exact-resume contract is for the default per-chunk dispatch
     # mode — single_dispatch recomputes schedules in-graph in f32, which

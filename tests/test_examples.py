@@ -60,5 +60,15 @@ def test_train_fused_checkpoint_resume(tmp_path):
                        "--interpret", "--steps", "256", "--envs", "256",
                        "--ckpt", ck))
     assert ev2["resumed_fused"]["chunk"] == 2
+    # The resumed segment reuses the FIRST segment's anneal anchor
+    # (n_chunks//2 of the original invocation), so the composite run's
+    # lr schedule is self-consistent across segments.
+    assert ev2["resumed_fused"]["lr_anneal_start"] == 1
     assert ev2["checkpointed"]["chunk"] == 4
     assert ev2["finished_fused"]["env_steps"] == 2 * 64 * 256
+    # Re-running with the same --steps is a no-op, not an extra chunk.
+    ev3 = _events(_run("examples/train_minimax_tpu.py", "--fused",
+                       "--interpret", "--steps", "256", "--envs", "256",
+                       "--ckpt", ck))
+    assert ev3["already_complete"]["chunk"] == 4
+    assert "finished_fused" not in ev3

@@ -31,6 +31,32 @@ def test_jax_vi_matches_numpy_vi():
     assert np.allclose(np.asarray(V_j), V_np, atol=1e-3)
 
 
+def test_jax_vi_returns_pre_update_v():
+    """The jax VI's V-return contract matches the reference/numpy twin:
+    the returned V is the PRE-update V the final Q was backed up from
+    (ref planners.py:14-17), so max_a Q - V stays within theta and the
+    sweep counts line up across implementations at equal theta."""
+    env = SoccerSimultaneousEnv(slip_prob=0.2,
+                                player_b_policy=get_stand_policy(761))
+    prob, ns, rew, done = planners._env_arrays(env)
+    theta = 1e-4
+    pi_np, V_np, Q_np, cc_np = planners.value_iteration_arrays(
+        prob, ns, rew, done, theta=theta, gamma=0.99)
+    pi_j, V_j, Q_j, cc_j = planners.value_iteration_jax_jit(
+        jnp.asarray(prob, jnp.float32), jnp.asarray(ns),
+        jnp.asarray(rew, jnp.float32), jnp.asarray(done),
+        theta, 0.99)
+    V_j, Q_j = np.asarray(V_j, np.float64), np.asarray(Q_j, np.float64)
+    # Pre-update semantics: V is the fixpoint candidate Q was built FROM,
+    # so the convergence residual is < theta but generally nonzero...
+    assert np.max(np.abs(V_j - Q_j.max(axis=1))) < theta
+    # ...and it tracks the host float64 V to f32 precision at this theta.
+    assert np.allclose(V_j, V_np, atol=2e-3)
+    assert np.max(np.abs(V_np - Q_np.max(axis=1))) < theta
+    # Same loop structure => sweep counts agree to within f32 noise.
+    assert abs(int(cc_j) - cc_np) <= 2
+
+
 def test_policy_dict_array_equivalence():
     d = get_random_policy(761, 5, seed=3)
     a = get_random_policy_array(761, 5, seed=3)
