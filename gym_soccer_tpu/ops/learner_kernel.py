@@ -55,6 +55,22 @@ COL_PI_A, COL_PI_B, COL_Q, COL_V = 0, 5, 10, 35
 COL_V_LO, COL_Q_LO = 36, 37
 ACC_TD, ACC_CNT = 0, 32
 
+# PACKED-path layout (the big-grid kernel, `packed_learner_chunk`).
+# Because M is frozen within a chunk, the per-visit TD decomposes as
+# (r + gamma*v') - q[s, ja] with the q term CONSTANT per (s, ja): the
+# kernel only needs to accumulate sum(r + gamma*v') and the visit count,
+# and the host subtracts cnt*q between chunks.  That shrinks the
+# per-state gather payload from 62 columns (Q hi+lo was 50 of them) to
+# 12 — so GP = 8 states share one 128-wide M row (16 columns each), an
+# 8x cut in gather-matmul rows — and lets the accumulator pack AP = 2
+# states per row (25 target-sum + 25 count columns each), a 2x cut in
+# scatter rows.  The host-side q subtraction also uses the EXACT f32 q
+# (the unpacked kernel's in-VMEM q is double-bf16, ~2^-17).
+GP, GCOLS = 8, 16                      # states per M row, cols per state
+PCOL_PI_A, PCOL_PI_B, PCOL_V, PCOL_V_LO = 0, 5, 10, 11
+AP, ASTRIDE = 2, 50                    # states per acc row, col stride
+PACC_TGT, PACC_CNT = 0, 25
+
 
 SLAB_MAX = 1024
 
@@ -105,28 +121,29 @@ def make_gather(m_ref, SLAB: int, n_slabs: int, rb: int):
 def make_scatter(acc_ref, SLAB: int, n_slabs: int, rb: int, blk_shape):
     """Build ``scatter_add(cp, X)``: acc[cp] += X via one_hot^T matmuls
     (Mosaic takes single contracting dims only, so the rb block rows
-    unroll).  Shared by the minimax and alternating-turn learner
-    kernels."""
-    s_iota = jax.lax.broadcasted_iota(jnp.int32, blk_shape + (SLAB,), 2)
+    unroll).  One-hots are built per block row from a 2D [lanes, SLAB]
+    iota — a [rb, lanes, SLAB] iota would cost rb*lanes*SLAB*4 bytes of
+    VMEM and is what used to cap the slabbed path at rb=8.  Shared by
+    the minimax and alternating-turn learner kernels."""
+    s_iota = jax.lax.broadcasted_iota(jnp.int32, (blk_shape[1], SLAB), 1)
 
-    def add_slab(oh, upd, X):
+    def add_slab(off, upd, cp, X):
         for rr in range(rb):
+            oh = ((s_iota + off) == cp[rr][:, None]).astype(jnp.bfloat16)
             upd = upd + jax.lax.dot_general(
-                oh[rr], X[rr], (((0,), (0,)), ((), ())),
+                oh, X[rr], (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
         return upd
 
     def scatter_add(cp, X, slab_bounds=None):
         if n_slabs == 1:
-            oh = (s_iota == cp[..., None]).astype(jnp.bfloat16)
-            acc_ref[:] = add_slab(oh, acc_ref[:], X)
+            acc_ref[:] = add_slab(0, acc_ref[:], cp, X)
             return
 
         def body(j, _):
             off = j * SLAB
-            oh = ((s_iota + off) == cp[..., None]).astype(jnp.bfloat16)
             acc_ref[pl.ds(off, SLAB), :] = add_slab(
-                oh, acc_ref[pl.ds(off, SLAB), :], X)
+                off, acc_ref[pl.ds(off, SLAB), :], cp, X)
             return 0
 
         lo, hi = (0, n_slabs) if slab_bounds is None else slab_bounds
@@ -153,9 +170,13 @@ def spc(cfg: EnvConfig) -> int:
 
 def spc_mg(cfgs: tuple) -> tuple[int, np.ndarray]:
     """(padded total row count, per-variant row offsets) of the MULTIGRID
-    packed tables: variants' compact code blocks are concatenated."""
+    packed tables: variants' compact code blocks are concatenated.
+    Offsets are 8-aligned so the PACKED kernel's row/group split
+    (cp // GP, cp % GP with GP == 8) maps each variant's block onto
+    whole packed rows; the unpacked kernel is offset-agnostic (rows are
+    just labels), so the alignment is shared."""
     from ..core import rules
-    sizes = [rules.n_cellpairs(c) for c in cfgs]
+    sizes = [-(-rules.n_cellpairs(c) // GP) * GP for c in cfgs]
     offsets = np.concatenate([[0], np.cumsum(sizes[:-1])]).astype(np.int32)
     return _pad_sp(int(sum(sizes))), offsets
 
@@ -451,6 +472,337 @@ def multigrid_learner_chunk(cfgs: tuple, seed, m_packed, planes,
 
 
 # ----------------------------------------------------------------------
+# PACKED kernel: the big-grid path (see the layout comment at the top).
+# ----------------------------------------------------------------------
+
+def _n_codes(cfg) -> int:
+    """Total compact cellpair codes (8-aligned per variant for tuples)."""
+    from ..core import rules
+    if isinstance(cfg, tuple):
+        return int(sum(-(-rules.n_cellpairs(c) // GP) * GP for c in cfg))
+    return rules.n_cellpairs(cfg)
+
+
+def spm(cfg) -> int:
+    """Packed-M row count: GP states per row, padded like spc."""
+    return _pad_sp(-(-_n_codes(cfg) // GP))
+
+
+def sacc(cfg) -> int:
+    """Packed-accumulator row count: AP states per row."""
+    return _pad_sp(-(-_n_codes(cfg) // AP))
+
+
+def _packed_body(seed_ref, m_ref, planes, ra_ref, ca_ref, rb_ref, cb_ref,
+                 p_ref, t_ref,
+                 ora, oca, orb, ocb, op, ot, acc_ref, stats_ref,
+                 *, cfg, n_steps: int, q_int, gamma: float, rb: int,
+                 max_steps: int = 0):
+    """Packed fused actor/TD loop (the big-grid twin of `_learner_body`).
+
+    Identical stepping, acting and pipelined-retirement structure; the
+    differences are the M/acc layouts (GP states per M row, AP per acc
+    row — see the PACKED layout comment at the top) and that the kernel
+    accumulates TD TARGET sums (r + gamma*v') instead of TDs: the
+    constant-within-chunk q term is subtracted host-side between chunks.
+    Action sampling reads the same bf16 pi values and the same counter
+    PRNG as the unpacked kernel, so both kernels step bit-identical
+    trajectories for equal M contents."""
+    from ..core import rules
+    RBk = rb
+    seed = seed_ref[0].astype(jnp.uint32)
+    R = ra_ref.shape[0]
+    n_blocks = R // RBk
+    SPM = m_ref.shape[0]
+    SLAB_M = SPM if SPM <= 2 * SLAB_MAX else SLAB_MAX
+    n_slabs_m = SPM // SLAB_M
+    SPA = acc_ref.shape[0]
+    SLAB_A = SPA if SPA <= 2 * SLAB_MAX else SLAB_MAX
+    n_slabs_a = SPA // SLAB_A
+    blk_shape = (RBk, LANES)
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    rows_iota = jax.lax.broadcasted_iota(jnp.uint32, blk_shape, 0)
+    cols_iota = jax.lax.broadcasted_iota(jnp.uint32, blk_shape, 1)
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, blk_shape + (LANES,), 2)
+    gamma_f = jnp.float32(gamma)
+
+    gather_rows = make_gather(m_ref, SLAB_M, n_slabs_m, RBk)
+    scatter_add = make_scatter(acc_ref, SLAB_A, n_slabs_a, RBk, blk_shape)
+
+    def bounds(codes, SLAB, n_slabs):
+        if n_slabs == 1:
+            return None
+        return jnp.min(codes) // SLAB, jnp.max(codes) // SLAB + 1
+
+    def collapse(pre, g):
+        """Select each lane's group columns: [rb, 128 M-cols, 128 lanes]
+        + per-lane group id -> the 12 per-state columns [rb, lanes]."""
+        outs = []
+        for c in range(PCOL_V_LO + 1):
+            s = None
+            for k in range(GP):
+                contrib = jnp.where(g == k, pre[:, k * GCOLS + c, :], 0.0)
+                s = contrib if s is None else s + contrib
+            outs.append(s)
+        return outs
+
+    def sample5(cols5, u01):
+        total = cols5[0]
+        for k in range(1, N_ACTIONS):
+            total = total + cols5[k]
+        target = u01 * total
+        a = jnp.zeros(blk_shape, jnp.int32)
+        c = cols5[0]
+        for k in range(1, N_ACTIONS):
+            a = a + (c <= target).astype(jnp.int32)
+            c = c + cols5[k]
+        return a
+
+    def retire(v_here, pend):
+        cpa, cbase, r, cont, valid = pend
+        tgt = r + cont * v_here
+        oh_td = (c_iota == (cbase[..., None] + PACC_TGT)).astype(jnp.float32)
+        oh_ct = (c_iota == (cbase[..., None] + PACC_CNT)).astype(jnp.float32)
+        X = ((oh_td * tgt[..., None] + oh_ct)
+             * valid[..., None]).astype(jnp.bfloat16)
+        scatter_add(cpa, X, bounds(cpa, SLAB_A, n_slabs_a))
+
+    def block(blk, carry0):
+        sl = pl.ds(blk * RBk, RBk)
+        lane = ((blk.astype(jnp.uint32) * RBk + rows_iota)
+                * jnp.uint32(LANES) + cols_iota)
+        zi = jnp.zeros(blk_shape, jnp.int32)
+        zf = jnp.zeros(blk_shape, jnp.float32)
+
+        if planes is None:
+            geo, q_geo, cpo = cfg, q_int, None
+        else:
+            h_ref, w_ref, glo_ref, ghi_ref, qp_ref, cpo_ref = planes
+            geo = sk.GeoPlanes(H=h_ref[sl, :], W=w_ref[sl, :],
+                               glo=glo_ref[sl, :], ghi=ghi_ref[sl, :],
+                               q_int=qp_ref[sl, :], max_steps=max_steps)
+            q_geo = geo.q_int
+            cpo = cpo_ref[sl, :]
+
+        def cell_of(ra, ca, rb, cb, p):
+            c = rules.cellpair_encode(jnp, ra, ca, rb, cb, p, geo)
+            return c if cpo is None else c + cpo
+
+        def step(i, c):
+            (ra, ca, rb, cb, p, t, pend,
+             rew_acc, goal_acc, trunc_acc) = c
+            bits0 = sk._random_word(seed, i, 0, lane)
+            bits1 = sk._random_word(seed, i, 1, lane)
+            bits2 = sk._random_word(seed, i, 2, lane)
+
+            cp = cell_of(ra, ca, rb, cb, p)
+            cpm = cp // GP
+            pre = gather_rows(cpm, bounds(cpm, SLAB_M, n_slabs_m))
+            cols = collapse(pre, cp % GP)
+            retire(cols[PCOL_V] + cols[PCOL_V_LO], pend)
+
+            inv = jnp.float32(1.0 / 65536.0)
+            ua = sk._u16(bits0, 0).astype(jnp.float32) * inv
+            ub = sk._u16(bits0, 1).astype(jnp.float32) * inv
+            aa = sample5(cols[PCOL_PI_A:PCOL_PI_A + 5], ua)
+            ab = sample5(cols[PCOL_PI_B:PCOL_PI_B + 5], ub)
+
+            nra, nca, nrb, ncb, npz, goal, r = sk.transition_core(
+                ra, ca, rb, cb, p, aa, ab, bits1, bits2, geo, q_geo)
+            nra, nca, nrb, ncb, npz, t2, trunc = sk.autoreset_core(
+                nra, nca, nrb, ncb, npz, t, goal, bits2, geo)
+
+            ja = aa * N_ACTIONS + ab
+            cbase = (cp % AP) * ASTRIDE + ja
+            term = goal | trunc
+            cont = jnp.where(term, 0.0, gamma_f)
+            new_pend = (cp // AP, cbase, r.astype(jnp.float32), cont,
+                        jnp.ones(blk_shape, jnp.float32))
+            return (nra, nca, nrb, ncb, npz, t2, new_pend,
+                    rew_acc + jnp.sum(r),
+                    goal_acc + jnp.sum(goal.astype(jnp.int32)),
+                    trunc_acc + jnp.sum(trunc.astype(jnp.int32)))
+
+        init = (ra_ref[sl, :], ca_ref[sl, :], rb_ref[sl, :], cb_ref[sl, :],
+                p_ref[sl, :], t_ref[sl, :], (zi, zi, zf, zf, zf),
+                *carry0)
+        (ra, ca, rb, cb, p, t, pend,
+         rew_acc, goal_acc, trunc_acc) = jax.lax.fori_loop(
+            0, n_steps, step, init)
+
+        # trailing gather retires the final step's TD
+        cp_end = cell_of(ra, ca, rb, cb, p)
+        cpm = cp_end // GP
+        cols = collapse(gather_rows(cpm, bounds(cpm, SLAB_M, n_slabs_m)),
+                        cp_end % GP)
+        retire(cols[PCOL_V] + cols[PCOL_V_LO], pend)
+
+        ra_ref[sl, :], ca_ref[sl, :] = ra, ca
+        rb_ref[sl, :], cb_ref[sl, :] = rb, cb
+        p_ref[sl, :], t_ref[sl, :] = p, t
+        return (rew_acc, goal_acc, trunc_acc)
+
+    z = jnp.int32(0)
+    rew, goals, truncs = jax.lax.fori_loop(0, n_blocks, block, (z, z, z))
+    ora[:], oca[:] = ra_ref[:], ca_ref[:]
+    orb[:], ocb[:] = rb_ref[:], cb_ref[:]
+    op[:], ot[:] = p_ref[:], t_ref[:]
+    stats_ref[0, 0] = rew
+    stats_ref[0, 1] = goals
+    stats_ref[0, 2] = truncs
+
+
+def _packed_kernel(seed_ref, m_ref, ra_ref, ca_ref, rb_ref, cb_ref,
+                   p_ref, t_ref,
+                   ora, oca, orb, ocb, op, ot, acc_ref, stats_ref,
+                   *, cfg: EnvConfig, n_steps: int, q_int: int,
+                   gamma: float, rb: int):
+    _packed_body(seed_ref, m_ref, None, ra_ref, ca_ref, rb_ref, cb_ref,
+                 p_ref, t_ref, ora, oca, orb, ocb, op, ot, acc_ref,
+                 stats_ref, cfg=cfg, n_steps=n_steps, q_int=q_int,
+                 gamma=gamma, rb=rb)
+
+
+def _mg_packed_kernel(seed_ref, m_ref, h_ref, w_ref, glo_ref, ghi_ref,
+                      qp_ref, cpo_ref, ra_ref, ca_ref, rb_ref, cb_ref,
+                      p_ref, t_ref,
+                      ora, oca, orb, ocb, op, ot, acc_ref, stats_ref,
+                      *, n_steps: int, gamma: float, rb: int,
+                      max_steps: int):
+    _packed_body(seed_ref, m_ref,
+                 (h_ref, w_ref, glo_ref, ghi_ref, qp_ref, cpo_ref),
+                 ra_ref, ca_ref, rb_ref, cb_ref, p_ref, t_ref,
+                 ora, oca, orb, ocb, op, ot, acc_ref, stats_ref,
+                 cfg=None, n_steps=n_steps, q_int=0, gamma=gamma, rb=rb,
+                 max_steps=max_steps)
+
+
+def _packed_vmem_guard(cfg, SPM: int, SPA: int):
+    vmem_mb = (SPM * 2 + SPA * 4) * LANES / 2**20
+    if vmem_mb > 14:
+        raise ValueError(
+            f"grid too large even for the PACKED fused learner kernel: "
+            f"tables need ~{vmem_mb:.0f} MB of VMEM ({_n_codes(cfg)} "
+            f"codes); use agents.learners (HBM tables) instead")
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "batch", "n_steps",
+                                             "gamma", "interpret"))
+def packed_learner_chunk(cfg: EnvConfig, seed, m_packed, state_fields,
+                         batch: int, n_steps: int, gamma: float = 0.99,
+                         interpret: bool = False):
+    """Packed-layout fused chunk (the big-grid fast path).  ``m_packed``
+    [spm(cfg), 128] bfloat16 from `pack_m2`; returns (new_fields,
+    acc [sacc(cfg), 128] f32, stats[3]) — decode acc with `unpack_acc2`.
+    Roughly 3x less matmul work per step than `learner_chunk` on one big
+    grid (8x fewer gather rows, 2x fewer scatter rows), because the
+    frozen-within-chunk q never needs to live on chip."""
+    assert n_steps > 0
+    assert batch % LANES == 0, f"batch must be a multiple of {LANES}"
+    shape = (batch // LANES, LANES)
+    SPM, SPA = spm(cfg), sacc(cfg)
+    rb = next(r for r in range(min(RB, shape[0]), 0, -1)
+              if shape[0] % r == 0)
+    _packed_vmem_guard(cfg, SPM, SPA)
+    q_int = int(round(cfg.slip_prob * 65536))
+    kernel = functools.partial(
+        _packed_kernel, cfg=cfg, n_steps=n_steps, q_int=q_int, gamma=gamma,
+        rb=rb)
+    out_shapes = ([jax.ShapeDtypeStruct(shape, jnp.int32)] * 6 +
+                  [jax.ShapeDtypeStruct((SPA, LANES), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 4), jnp.int32)])
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=tuple(out_shapes),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)] +
+                 [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 7 +
+                        [pl.BlockSpec(memory_space=pltpu.SMEM)]),
+        input_output_aliases={2 + i: i for i in range(6)},
+        interpret=interpret,
+    )(jnp.asarray([seed], jnp.int32), m_packed, *state_fields)
+    *fields, acc, stats = outs
+    return tuple(fields), acc, (stats[0, 0], stats[0, 1], stats[0, 2])
+
+
+@functools.partial(jax.jit, static_argnames=("cfgs", "batch", "n_steps",
+                                             "gamma", "interpret"))
+def multigrid_packed_learner_chunk(cfgs: tuple, seed, m_packed, planes,
+                                   state_fields, batch: int, n_steps: int,
+                                   gamma: float = 0.99,
+                                   interpret: bool = False):
+    """Packed-layout fused chunk over a MIXED-geometry batch: the packed
+    twin of `multigrid_learner_chunk` (same planes; spc_mg's offsets are
+    8-aligned so every variant's block maps onto whole packed rows)."""
+    assert n_steps > 0
+    assert batch % LANES == 0, f"batch must be a multiple of {LANES}"
+    assert len({c.max_steps for c in cfgs}) == 1, \
+        "variants must share max_steps"
+    shape = (batch // LANES, LANES)
+    SPM, SPA = spm(cfgs), sacc(cfgs)
+    # keep blocks small enough to stay single-variant (blocked lane
+    # layout) so the scatter's slab bounds skip other variants' rows
+    cap = RB if SPA <= 2 * SLAB_MAX else RB_SLABBED
+    rb = next(r for r in range(min(cap, shape[0]), 0, -1)
+              if shape[0] % r == 0)
+    _packed_vmem_guard(cfgs, SPM, SPA)
+    kernel = functools.partial(
+        _mg_packed_kernel, n_steps=n_steps, gamma=gamma, rb=rb,
+        max_steps=cfgs[0].max_steps)
+    out_shapes = ([jax.ShapeDtypeStruct(shape, jnp.int32)] * 6 +
+                  [jax.ShapeDtypeStruct((SPA, LANES), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 4), jnp.int32)])
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=tuple(out_shapes),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] +
+                 [pl.BlockSpec(memory_space=pltpu.VMEM)] * 13,
+        out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 7 +
+                        [pl.BlockSpec(memory_space=pltpu.SMEM)]),
+        input_output_aliases={8 + i: i for i in range(6)},
+        interpret=interpret,
+    )(jnp.asarray([seed], jnp.int32), m_packed, *planes, *state_fields)
+    *fields, acc, stats = outs
+    return tuple(fields), acc, (stats[0, 0], stats[0, 1], stats[0, 2])
+
+
+def pack_m2(cfg, pi_a, pi_b, v, eps, eps_b=None) -> jnp.ndarray:
+    """Pack (exploration-mixed) policies and the split double-bf16 v into
+    the PACKED kernel's M [spm(cfg), 128] bfloat16 — GP states per row,
+    GCOLS columns each (no Q: the packed kernel accumulates target sums
+    and the q subtraction happens host-side, see the layout comment)."""
+    if eps_b is None:
+        eps_b = eps
+    codes = jnp.asarray(_cell_rows(cfg))
+    SPM = spm(cfg)
+    idx = (codes // GP) * LANES + (codes % GP) * GCOLS
+    v_hi = v.astype(jnp.bfloat16).astype(jnp.float32)
+    flat = jnp.zeros(SPM * LANES, jnp.float32)
+    pa = pi_a * (1 - eps) + eps / N_ACTIONS
+    pb = pi_b * (1 - eps_b) + eps_b / N_ACTIONS
+    for k in range(N_ACTIONS):
+        flat = flat.at[idx + PCOL_PI_A + k].set(pa[:, k])
+        flat = flat.at[idx + PCOL_PI_B + k].set(pb[:, k])
+    flat = flat.at[idx + PCOL_V].set(v_hi)
+    flat = flat.at[idx + PCOL_V_LO].set(v - v_hi)
+    return flat.reshape(SPM, LANES).astype(jnp.bfloat16)
+
+
+def unpack_acc2(cfg, acc) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """acc [sacc, 128] -> dense (sum_target, cnt), each [nS, 5, 5]."""
+    codes = jnp.asarray(_cell_rows(cfg))
+    nS = codes.shape[0]
+    idx = (codes // AP) * LANES + (codes % AP) * ASTRIDE
+    flat = acc.reshape(-1)
+    cols = jnp.arange(NJ)[None, :]
+    sum_tgt = flat[idx[:, None] + PACC_TGT + cols].reshape(nS, 5, 5)
+    cnt = flat[idx[:, None] + PACC_CNT + cols].reshape(nS, 5, 5)
+    return sum_tgt, cnt
+
+
+# ----------------------------------------------------------------------
 # Chunked training wrapper
 # ----------------------------------------------------------------------
 
@@ -479,25 +831,34 @@ def _spc_any(cfg) -> int:
 _raw_rows = _cell_rows
 
 
-def pack_m(cfg, pi_a, pi_b, q, v, eps: float) -> jnp.ndarray:
+def pack_m(cfg, pi_a, pi_b, q, v, eps: float, eps_b=None) -> jnp.ndarray:
     """Pack (exploration-mixed) policies, Q and v into the kernel's
     compact-indexed M [spc, 128] bfloat16.  Q and v are split double-bf16
     (see the column-layout comment at the top of this module): the hi
     column is the exact bf16 rounding, the lo column the residual
     (bf16-quantized, leaving ~2^-17 combined relative error).
 
+    ``eps`` mixes uniform exploration into pi_a; ``eps_b`` (default:
+    same as ``eps``) into pi_b — per-side epsilons are what let the
+    frozen-opponent mode keep the opponent EXACT (eps 0) while the
+    learner explores (the reference substitutes the frozen policy
+    verbatim at table-build time, soccer_simultaneous_env.py:187-188).
+
     ``cfg`` may be a tuple of EnvConfigs (MULTIGRID): tables are then
     indexed by the global dense state (variants concatenated in
     core/multigrid.build_codec's offset order)."""
+    if eps_b is None:
+        eps_b = eps
     SP = _spc_any(cfg)
     rows = jnp.asarray(_cell_rows(cfg))
-    explore = eps / N_ACTIONS
     hi = lambda x: x.astype(jnp.bfloat16).astype(jnp.float32)
     qf = q.reshape(q.shape[0], NJ)
     q_hi, v_hi = hi(qf), hi(v)
     m = jnp.zeros((SP, LANES), jnp.float32)
-    m = m.at[rows, COL_PI_A:COL_PI_A + 5].set(pi_a * (1 - eps) + explore)
-    m = m.at[rows, COL_PI_B:COL_PI_B + 5].set(pi_b * (1 - eps) + explore)
+    m = m.at[rows, COL_PI_A:COL_PI_A + 5].set(
+        pi_a * (1 - eps) + eps / N_ACTIONS)
+    m = m.at[rows, COL_PI_B:COL_PI_B + 5].set(
+        pi_b * (1 - eps_b) + eps_b / N_ACTIONS)
     m = m.at[rows, COL_Q:COL_Q + NJ].set(q_hi)
     m = m.at[rows, COL_Q_LO:COL_Q_LO + NJ].set(qf - q_hi)
     m = m.at[rows, COL_V].set(v_hi)
@@ -556,7 +917,8 @@ def fused_minimax_train(cfg, batch: int, n_chunks: int,
                         mesh=None,
                         start_chunk: int = 0,
                         fields_init: tuple | None = None,
-                        return_state: bool = False):
+                        return_state: bool = False,
+                        packed: bool | None = None):
     """Chunked fused minimax-Q training.  Returns (q, v, pi_a, pi_b,
     stats_history).  Semantics match agents/learners.minimax_train with
     resolve_every == chunk_len (chunk-stale TD baselines).
@@ -625,13 +987,23 @@ def fused_minimax_train(cfg, batch: int, n_chunks: int,
     batch over devices: each device runs its own fused chunk and the
     TD/count accumulators are psum'd, so the replicated between-chunk
     update sees the whole batch — DP scaling of the fast path
-    (parallel/mesh.sharded_learner_chunk_fn)."""
+    (parallel/mesh.sharded_learner_chunk_fn).
+
+    ``packed`` selects the PACKED kernel layout (GP states per M row,
+    target-sum accumulation with host-side q subtraction — see the
+    layout comment at the top); default None auto-selects it for grids
+    whose unpacked tables would be slabbed (big boards/mixtures).  Both
+    layouts step bit-identical trajectories for equal packed policy
+    values; their accumulated updates are equal up to f32 summation
+    order."""
     from ..agents.learners import solve_matrix_games
     from ..core import tables
     if isinstance(cfg, tuple):
         nS = int(sum(tables.build_statespace(c).nS for c in cfg))
     else:
         nS = tables.build_statespace(cfg).nS
+    if packed is None:
+        packed = _spc_any(cfg) > 2 * SLAB_MAX
 
     n = jnp.zeros((nS, 5, 5), jnp.float32)
     if init is None:
@@ -657,7 +1029,8 @@ def fused_minimax_train(cfg, batch: int, n_chunks: int,
         from jax.sharding import NamedSharding, PartitionSpec
         from ..parallel.mesh import sharded_learner_chunk_fn
         sharded = sharded_learner_chunk_fn(cfg, mesh, batch, chunk_len,
-                                           gamma=gamma, interpret=interpret)
+                                           gamma=gamma, interpret=interpret,
+                                           packed=packed)
         sh = NamedSharding(mesh, PartitionSpec("env", None))
         fields = tuple(jax.device_put(f, sh) for f in fields)
         if planes is not None:
@@ -669,14 +1042,19 @@ def fused_minimax_train(cfg, batch: int, n_chunks: int,
             def chunk(seed_k, m, fields):
                 return sharded(seed_k, m, fields)
     elif isinstance(cfg, tuple):
+        mg_chunk = (multigrid_packed_learner_chunk if packed
+                    else multigrid_learner_chunk)
+
         def chunk(seed_k, m, fields):
-            return multigrid_learner_chunk(cfg, seed_k, m, planes, fields,
-                                           batch, chunk_len, gamma=gamma,
-                                           interpret=interpret)
+            return mg_chunk(cfg, seed_k, m, planes, fields,
+                            batch, chunk_len, gamma=gamma,
+                            interpret=interpret)
     else:
+        sg_chunk = packed_learner_chunk if packed else learner_chunk
+
         def chunk(seed_k, m, fields):
-            return learner_chunk(cfg, seed_k, m, fields, batch, chunk_len,
-                                 gamma=gamma, interpret=interpret)
+            return sg_chunk(cfg, seed_k, m, fields, batch, chunk_len,
+                            gamma=gamma, interpret=interpret)
 
     if mesh is not None:
         # State-sharded re-solve: the solve's natural axis is the STATE,
@@ -693,14 +1071,20 @@ def fused_minimax_train(cfg, batch: int, n_chunks: int,
         """Everything between kernel chunks in ONE jitted dispatch
         (tunneled backends pay ~0.4 s per eager op): count-normalized Q
         update, RM+ re-solve, and repacking M with traced lr/eps."""
-        sum_td, cnt = unpack_acc(cfg, acc)
+        if packed:
+            sum_tgt, cnt = unpack_acc2(cfg, acc)
+            sum_td = sum_tgt - cnt * q     # q frozen within the chunk
+        else:
+            sum_td, cnt = unpack_acc(cfg, acc)
         n = n + cnt
         lr_cell = lr_now
         if count_lr_tau > 0:
             lr_cell = lr_now * (1.0 + n / count_lr_tau) ** (-count_lr_pow)
         q = q + lr_cell * sum_td / jnp.maximum(cnt, 1.0)
         v, pa, pb = solve(q)
-        return q, n, v, pa, pb, pack_m(cfg, pa, pb, q, v, eps_now)
+        m = (pack_m2(cfg, pa, pb, v, eps_now) if packed
+             else pack_m(cfg, pa, pb, q, v, eps_now))
+        return q, n, v, pa, pb, m
 
     def decay(base, hl, k, floor=0.0):
         d = base * (0.5 ** (k * chunk_len / hl) if hl else 1.0)
@@ -726,7 +1110,11 @@ def fused_minimax_train(cfg, batch: int, n_chunks: int,
     # can differ from the host f64 schedule by an ulp.)
     eps0 = eps if start_chunk == 0 else jnp.float32(
         decay(eps, eps_halflife, start_chunk - 1, eps_min))
-    m0 = jax.jit(pack_m, static_argnums=(0,))(cfg, pi_a, pi_b, q, v, eps0)
+    if packed:
+        m0 = jax.jit(pack_m2, static_argnums=(0,))(cfg, pi_a, pi_b, v, eps0)
+    else:
+        m0 = jax.jit(pack_m, static_argnums=(0,))(cfg, pi_a, pi_b, q, v,
+                                                  eps0)
     end_chunk = start_chunk + n_chunks
 
     if single_dispatch:
@@ -790,4 +1178,137 @@ def fused_minimax_train(cfg, batch: int, n_chunks: int,
             lambda q: solve_matrix_games(q, iters=final_solver_iters))(q)
     if return_state:
         return q, v, pi_a, pi_b, history, resume
+    return q, v, pi_a, pi_b, history
+
+
+def fused_best_response_train(cfg: EnvConfig, opp_policy, side: str,
+                              batch: int, n_chunks: int,
+                              chunk_len: int = 64, lr: float = 1.0,
+                              gamma: float = 0.99, eps: float = 0.3,
+                              eps_halflife: int = 0, eps_min: float = 0.05,
+                              lr_anneal_start: int = 0,
+                              lr_anneal_tau: float = 0.0,
+                              lr_anneal_pow: float = 1.0,
+                              seed: int = 0, interpret: bool = False,
+                              mesh=None, init: tuple | None = None,
+                              packed: bool | None = None):
+    """Fused SINGLE-AGENT training: best response against a FROZEN
+    opponent at full kernel speed — the training shape of the reference's
+    single-agent mode, where the opponent's policy is substituted at
+    table-build time (soccer_simultaneous_env.py:187-188, reward flip for
+    a B-learner :242-244) and which all its planners and its main() demo
+    require (:507-520).
+
+    Runs the SAME fused chunk kernel as `fused_minimax_train`; only the
+    packing and the between-chunk update differ:
+
+    * the frozen side's pi columns hold the one-hot policy with ZERO
+      exploration (pack_m's per-side eps), so the opponent plays its
+      policy exactly, as in the reference;
+    * the learner's pi columns hold its greedy policy, eps-mixed;
+    * between chunks the game solve is replaced by the best-response
+      backup: for a learning A, v[s] = max_a q[s, a, opp[s]]; for a
+      learning B (which maximizes -reward_a), v[s] = min_b q[s, opp[s],
+      b].  Both leave q/v in A's reward perspective, matching the
+      kernel's TD accumulation.
+
+    ``opp_policy`` is a dense int policy [nS] (utils/policies array
+    form); ``side`` is the LEARNING side ('player_a' or 'player_b').
+    Returns (q, v, pi_a, pi_b, history) — v is A-perspective, so the
+    learner's achieved value is v for A and -v for B; the learner's
+    returned policy is its greedy one-hot, the opponent's its frozen
+    one-hot.  ``init``: optional (q, n) warm start.  ``mesh`` shards the
+    lane batch over devices exactly as in `fused_minimax_train`."""
+    from ..core import tables
+    assert side in ("player_a", "player_b")
+    nS = tables.build_statespace(cfg).nS
+    opp = jnp.asarray(opp_policy, jnp.int32)
+    assert opp.shape == (nS,), f"opp_policy must be dense [{nS}]"
+    opp_oh = jax.nn.one_hot(opp, N_ACTIONS, dtype=jnp.float32)
+    learn_a = side == "player_a"
+    if packed is None:
+        packed = _spc_any(cfg) > 2 * SLAB_MAX
+
+    q = jnp.zeros((nS, 5, 5), jnp.float32)
+    n = jnp.zeros((nS, 5, 5), jnp.float32)
+    if init is not None:
+        q = jnp.asarray(init[0], jnp.float32)
+        if len(init) > 1:
+            n = jnp.asarray(init[1], jnp.float32)
+    fields = init_state_fields(cfg, batch)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        from ..parallel.mesh import sharded_learner_chunk_fn
+        sharded = sharded_learner_chunk_fn(cfg, mesh, batch, chunk_len,
+                                           gamma=gamma, interpret=interpret,
+                                           packed=packed)
+        sh = NamedSharding(mesh, PartitionSpec("env", None))
+        fields = tuple(jax.device_put(f, sh) for f in fields)
+        chunk = sharded
+    else:
+        sg_chunk = packed_learner_chunk if packed else learner_chunk
+
+        def chunk(seed_k, m, fields):
+            return sg_chunk(cfg, seed_k, m, fields, batch, chunk_len,
+                            gamma=gamma, interpret=interpret)
+
+    def repack(pa, pb, q, v, ea, eb):
+        if packed:
+            return pack_m2(cfg, pa, pb, v, ea, eps_b=eb)
+        return pack_m(cfg, pa, pb, q, v, ea, eps_b=eb)
+
+    @jax.jit
+    def between(q, n, acc, lr_now, eps_now):
+        if packed:
+            sum_tgt, cnt = unpack_acc2(cfg, acc)
+            sum_td = sum_tgt - cnt * q
+        else:
+            sum_td, cnt = unpack_acc(cfg, acc)
+        n = n + cnt
+        q = q + lr_now * sum_td / jnp.maximum(cnt, 1.0)
+        if learn_a:
+            q_eff = jnp.take_along_axis(
+                q, opp[:, None, None], axis=2)[..., 0]      # [nS, 5] on a
+            v = q_eff.max(-1)
+            pi_l = jax.nn.one_hot(q_eff.argmax(-1), N_ACTIONS,
+                                   dtype=jnp.float32)
+            pa, pb = pi_l, opp_oh
+            m = repack(pa, pb, q, v, eps_now, 0.0)
+        else:
+            q_eff = jnp.take_along_axis(
+                q, opp[:, None, None], axis=1)[:, 0, :]     # [nS, 5] on b
+            v = q_eff.min(-1)
+            pi_l = jax.nn.one_hot(q_eff.argmin(-1), N_ACTIONS,
+                                   dtype=jnp.float32)
+            pa, pb = opp_oh, pi_l
+            m = repack(pa, pb, q, v, 0.0, eps_now)
+        return q, n, v, pa, pb, m
+
+    def eps_at(k):
+        d = eps * (0.5 ** (k * chunk_len / eps_halflife)
+                   if eps_halflife else 1.0)
+        return max(d, eps_min)
+
+    def lr_at(k):
+        d = lr
+        if lr_anneal_tau > 0:
+            d = d * (1.0 + max(k - lr_anneal_start, 0)
+                     / lr_anneal_tau) ** (-lr_anneal_pow)
+        return d
+
+    uni = jnp.full((nS, 5), 0.2, jnp.float32)
+    pa0, pb0 = (uni, opp_oh) if learn_a else (opp_oh, uni)
+    ea0, eb0 = (eps, 0.0) if learn_a else (0.0, eps)
+    m = jax.jit(repack)(pa0, pb0, q, jnp.zeros(nS, jnp.float32), ea0, eb0)
+    v = jnp.zeros(nS, jnp.float32)
+    pi_a, pi_b = pa0, pb0
+    history = []
+    for k in range(n_chunks):
+        fields, acc, stats = chunk(seed * 1_000_003 + k, m, fields)
+        q, n, v, pi_a, pi_b, m = between(
+            q, n, acc, jnp.float32(lr_at(k)), jnp.float32(eps_at(k)))
+        if k % 16 == 0 or k == n_chunks - 1:
+            history.append(stats)
+    history = [tuple(int(np.asarray(x)) for x in row) for row in history]
     return q, v, pi_a, pi_b, history

@@ -175,7 +175,7 @@ def sharded_solve_fn(mesh: Mesh, iters: int, axis: str = "env"):
 
 def sharded_learner_chunk_fn(cfg, mesh: Mesh, batch: int, n_steps: int,
                              gamma: float = 0.99, interpret: bool = False,
-                             axis: str = "env"):
+                             axis: str = "env", packed: bool = False):
     """Data-parallel FUSED learner chunks (ops/learner_kernel): the lane
     batch is sharded over the mesh, each device runs its own pallas chunk
     (per-shard PRNG seed decorrelated by axis index), and the TD/count
@@ -205,8 +205,11 @@ def sharded_learner_chunk_fn(cfg, mesh: Mesh, batch: int, n_steps: int,
                 tuple(jax.lax.psum(s, axis) for s in stats))
 
     if is_mg:
+        mg_chunk = (lk.multigrid_packed_learner_chunk if packed
+                    else lk.multigrid_learner_chunk)
+
         def local(seed, m, fields, planes):
-            out = lk.multigrid_learner_chunk(
+            out = mg_chunk(
                 cfg, _shard_seed(seed), m, planes, fields, bpd, n_steps,
                 gamma=gamma, interpret=interpret)
             return _reduce(*out)
@@ -217,8 +220,10 @@ def sharded_learner_chunk_fn(cfg, mesh: Mesh, batch: int, n_steps: int,
             out_specs=((fspec,) * 6, P(), (P(),) * 3),
             check_vma=False)  # pallas out_shapes carry no vma
     else:
+        sg_chunk = lk.packed_learner_chunk if packed else lk.learner_chunk
+
         def local(seed, m, fields):
-            out = lk.learner_chunk(
+            out = sg_chunk(
                 cfg, _shard_seed(seed), m, fields, bpd, n_steps,
                 gamma=gamma, interpret=interpret)
             return _reduce(*out)

@@ -173,3 +173,159 @@ def test_fused_training_exact_resume():
     assert np.array_equal(np.asarray(pb), np.asarray(pbc))
     for a, b in zip(res["fields"], res_c["fields"]):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_packed_chunk_matches_unpacked():
+    """The PACKED kernel (GP states per M row, target-sum accumulation)
+    must step bit-identical trajectories to the unpacked kernel for equal
+    policy/value contents, with identical visit counts; with q == 0 the
+    accumulated sums coincide exactly (same bf16 per-visit values, same
+    summation order)."""
+    B, T = 1024, 16
+    nS = 761
+    rng = np.random.RandomState(3)
+    v = jnp.asarray(rng.uniform(-1, 1, nS).astype(np.float32))
+    pa = jnp.asarray(rng.dirichlet(np.ones(5), nS).astype(np.float32))
+    pb = jnp.asarray(rng.dirichlet(np.ones(5), nS).astype(np.float32))
+    q0 = jnp.zeros((nS, 5, 5), jnp.float32)
+    m1 = lk.pack_m(CFG, pa, pb, q0, v, eps=0.2)
+    m2 = lk.pack_m2(CFG, pa, pb, v, eps=0.2)
+    fields = lk.init_state_fields(CFG, B)
+    f1, acc1, st1 = lk.learner_chunk(CFG, 7, m1, fields, B, T,
+                                     interpret=True)
+    f2, acc2, st2 = lk.packed_learner_chunk(CFG, 7, m2, fields, B, T,
+                                            interpret=True)
+    for a, b in zip(f1, f2):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), \
+            "packed and unpacked kernels diverged in trajectory"
+    assert all(int(np.asarray(x)) == int(np.asarray(y))
+               for x, y in zip(st1, st2))
+    sum_td, cnt1 = lk.unpack_acc(CFG, acc1)
+    sum_tgt, cnt2 = lk.unpack_acc2(CFG, acc2)
+    assert np.array_equal(np.asarray(cnt1), np.asarray(cnt2))
+    assert int(np.asarray(cnt2).sum()) == B * T
+    # q == 0: td == target, bit for bit
+    np.testing.assert_allclose(np.asarray(sum_td), np.asarray(sum_tgt),
+                               rtol=0, atol=0)
+
+
+def test_fused_training_packed_converges():
+    """fused_minimax_train(packed=True) must train (same smoke as the
+    unpacked kernel's test_fused_training_learns)."""
+    q, v, pa, pb, hist = lk.fused_minimax_train(
+        CFG, batch=1024, n_chunks=30, chunk_len=16, lr=0.4, eps=0.3,
+        solver_iters=100, interpret=True, packed=True)
+    assert float(jnp.abs(v).max()) > 0.05, "values never moved"
+    assert float(jnp.abs(v).max()) <= 1.05, "values outside game range"
+    assert np.allclose(np.asarray(pa).sum(-1), 1.0, atol=1e-3)
+    assert sum(h[1] for h in hist) > 0
+
+
+def test_multigrid_packed_chunk_matches_unpacked():
+    """The packed MULTIGRID kernel must match the unpacked one the same
+    way (8-aligned variant offsets map each variant onto whole packed
+    rows)."""
+    cfgs = (EnvConfig(5, 4, 0.2), EnvConfig(6, 5, 0.1))
+    from gym_soccer_tpu.core import tables
+    nS = int(sum(tables.build_statespace(c).nS for c in cfgs))
+    B, T = 1024, 8
+    rng = np.random.RandomState(5)
+    v = jnp.asarray(rng.uniform(-1, 1, nS).astype(np.float32))
+    uni = jnp.full((nS, 5), 0.2, jnp.float32)
+    q0 = jnp.zeros((nS, 5, 5), jnp.float32)
+    m1 = lk.pack_m(cfgs, uni, uni, q0, v, eps=0.3)
+    m2 = lk.pack_m2(cfgs, uni, uni, v, eps=0.3)
+    planes, fields = lk.init_state_fields(cfgs, B)
+    f1, acc1, st1 = lk.multigrid_learner_chunk(cfgs, 9, m1, planes, fields,
+                                               B, T, interpret=True)
+    f2, acc2, st2 = lk.multigrid_packed_learner_chunk(
+        cfgs, 9, m2, planes, fields, B, T, interpret=True)
+    for a, b in zip(f1, f2):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    sum_td, cnt1 = lk.unpack_acc(cfgs, acc1)
+    sum_tgt, cnt2 = lk.unpack_acc2(cfgs, acc2)
+    assert np.array_equal(np.asarray(cnt1), np.asarray(cnt2))
+    assert int(np.asarray(cnt2).sum()) == B * T
+    np.testing.assert_allclose(np.asarray(sum_td), np.asarray(sum_tgt),
+                               rtol=0, atol=0)
+
+
+def test_fused_best_response_matches_exact_br():
+    """Fused frozen-opponent training (the reference's single-agent mode,
+    soccer_simultaneous_env.py:187-188, main() :507-520) must converge to
+    the exact best-response values computed by
+    agents/evaluation.best_response_value, and the frozen side must play
+    its policy EXACTLY (zero exploration in its packed columns)."""
+    from gym_soccer_tpu.agents.evaluation import best_response_value
+    from gym_soccer_tpu.utils.policies import get_random_policy_array
+    gamma = 0.85  # short horizon so interpret-mode step counts suffice
+    opp = get_random_policy_array(761, 5, seed=42)
+    q, v, pa, pb, hist = lk.fused_best_response_train(
+        CFG, opp, "player_a", batch=1024, n_chunks=40, chunk_len=8,
+        lr=1.0, gamma=gamma, eps=0.3, eps_halflife=160, eps_min=0.1,
+        seed=3, interpret=True)
+    # frozen side: exact one-hot of the frozen policy
+    opp_oh = np.eye(5, dtype=np.float32)[np.asarray(opp)]
+    assert np.array_equal(np.asarray(pb), opp_oh)
+    # and its packed pi columns carry NO exploration mix
+    m = np.asarray(lk.pack_m(CFG, pa, pb, q, v, 0.3, eps_b=0.0),
+                   np.float32)
+    rows = lk._cell_rows(CFG)
+    assert np.array_equal(m[rows, lk.COL_PI_B:lk.COL_PI_B + 5],
+                          opp_oh.astype(np.float32).astype(jnp.bfloat16)
+                          .astype(np.float32))
+    # learner's values approach the exact best response
+    v_br, _ = best_response_value(CFG, jnp.asarray(opp_oh), "player_a",
+                                  gamma=gamma)
+    err = np.abs(np.asarray(v) - np.asarray(v_br))
+    assert err.mean() < 0.08, f"mean |v - V_br| = {err.mean():.3f}"
+    goals = sum(h[1] for h in hist)
+    assert goals > 0
+
+
+def test_fused_best_response_side_b():
+    """Learning side B against a frozen random A: the kernel keeps
+    everything in A's reward perspective, so the trained v must approach
+    MINUS the B-perspective exact best-response value."""
+    from gym_soccer_tpu.agents.evaluation import best_response_value
+    from gym_soccer_tpu.utils.policies import get_random_policy_array
+    gamma = 0.85
+    opp = get_random_policy_array(761, 5, seed=7)
+    opp_oh = jnp.asarray(np.eye(5, dtype=np.float32)[np.asarray(opp)])
+    q, v, pa, pb, _ = lk.fused_best_response_train(
+        CFG, opp, "player_b", batch=1024, n_chunks=40, chunk_len=8,
+        lr=1.0, gamma=gamma, eps=0.3, eps_halflife=160, eps_min=0.1,
+        seed=4, interpret=True)
+    assert np.array_equal(np.asarray(pa), np.asarray(opp_oh))
+    v_br, _ = best_response_value(CFG, opp_oh, "player_b", gamma=gamma)
+    err = np.abs(np.asarray(v) - (-np.asarray(v_br)))
+    assert err.mean() < 0.08, f"mean |v + V_br_b| = {err.mean():.3f}"
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    jax.default_backend() in ("cpu",),
+    reason="needs the real TPU (run: GST_TEST_TPU=1 python -m pytest "
+           "tests/test_learner_kernel.py -k br_tpu -m slow)")
+def test_br_convergence_tpu():
+    """Full-scale fused best response on chip: the learned greedy policy
+    must win >95% of completed episodes vs a frozen random opponent —
+    the reference's single-agent solution-quality contract
+    (test_general.py:344-381) at fused-kernel speed."""
+    from gym_soccer_tpu.core import batch
+    from gym_soccer_tpu.utils.policies import get_random_policy_array
+    opp = get_random_policy_array(761, 5, seed=42)
+    q, v, pa, pb, _ = lk.fused_best_response_train(
+        CFG, opp, "player_a", batch=32768, n_chunks=300, chunk_len=32,
+        lr=1.0, gamma=0.99, eps=0.3, eps_halflife=2400, eps_min=0.05,
+        lr_anneal_start=150, lr_anneal_tau=25.0, lr_anneal_pow=1.0,
+        seed=1)
+    pol_a = jnp.argmax(jnp.asarray(pa), -1).astype(jnp.int32)
+    fb = jnp.asarray(opp)
+    pol = lambda obs, i: (pol_a[obs], fb[obs])
+    env0 = jax.jit(lambda k: batch.init(CFG, k, 2048))(jax.random.key(9))
+    _, out = jax.jit(lambda s: batch.rollout(CFG, s, pol, 400))(env0)
+    done = np.asarray(out.done)
+    wins = ((np.asarray(out.reward_a) > 0) & done).sum()
+    eps_n = (done | np.asarray(out.truncated)).sum()
+    assert wins / eps_n > 0.95, f"win rate {wins / eps_n:.3f}"
