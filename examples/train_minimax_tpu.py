@@ -75,7 +75,49 @@ def main():
                          "phase then polynomial anneal; reaches "
                          "exploitability ~0.004 vs the exact solver's "
                          "~0.002 (BASELINE.md)")
+    ap.add_argument("--best-response", choices=["player_a", "player_b"],
+                    default="",
+                    help="SINGLE-AGENT mode: train the given side as a "
+                         "fused best response against a frozen random "
+                         "opponent — the reference main()'s training "
+                         "shape (soccer_simultaneous_env.py:507-520) at "
+                         "fused-kernel speed; reports the gap to the "
+                         "exact best-response value and the eval win "
+                         "rate")
     args = ap.parse_args()
+
+    if args.best_response:
+        import jax.numpy as jnp
+        from gym_soccer_tpu.agents.evaluation import (best_response_value,
+                                                      start_value)
+        from gym_soccer_tpu.core import tables
+        from gym_soccer_tpu.ops import learner_kernel as lk
+        from gym_soccer_tpu.utils.policies import get_random_policy_array
+        cfg = EnvConfig(width=5, height=4, slip_prob=0.2)
+        side = args.best_response
+        nS = tables.build_statespace(cfg).nS
+        opp = get_random_policy_array(nS, 5, seed=42)
+        n_chunks = max(2, args.steps // 32)
+        t0 = time.perf_counter()
+        q, v, pa, pb, hist = lk.fused_best_response_train(
+            cfg, opp, side, batch=args.envs, n_chunks=n_chunks,
+            chunk_len=32, lr=1.0, eps=0.3, eps_halflife=8 * n_chunks,
+            eps_min=0.05, lr_anneal_start=n_chunks // 2,
+            lr_anneal_tau=25.0, interpret=args.interpret)
+        dt = time.perf_counter() - t0
+        steps = n_chunks * 32 * args.envs
+        opp_oh = jnp.asarray(np.eye(5, dtype=np.float32)[np.asarray(opp)])
+        v_br, _ = best_response_value(cfg, opp_oh, side)
+        sign = 1.0 if side == "player_a" else -1.0
+        gap = float(np.abs(np.asarray(v) - sign * np.asarray(v_br)).mean())
+        log_json(event="finished_best_response", side=side,
+                 env_steps=steps, seconds=round(dt, 1),
+                 env_steps_per_s=round(steps / dt),
+                 start_value=round(start_value(cfg, v), 4),
+                 mean_gap_to_exact_br=round(gap, 4))
+        log_json(event="eval_episode_stats",
+                 **eval_episode_stats(cfg, pa, pb))
+        return
 
     if args.multigrid:
         from gym_soccer_tpu.core import tables

@@ -57,15 +57,23 @@ ACC_TD, ACC_CNT = 0, 32
 
 # PACKED-path layout (the big-grid kernel, `packed_learner_chunk`).
 # Because M is frozen within a chunk, the per-visit TD decomposes as
-# (r + gamma*v') - q[s, ja] with the q term CONSTANT per (s, ja): the
-# kernel only needs to accumulate sum(r + gamma*v') and the visit count,
-# and the host subtracts cnt*q between chunks.  That shrinks the
-# per-state gather payload from 62 columns (Q hi+lo was 50 of them) to
-# 12 — so GP = 8 states share one 128-wide M row (16 columns each), an
-# 8x cut in gather-matmul rows — and lets the accumulator pack AP = 2
-# states per row (25 target-sum + 25 count columns each), a 2x cut in
-# scatter rows.  The host-side q subtraction also uses the EXACT f32 q
-# (the unpacked kernel's in-VMEM q is double-bf16, ~2^-17).
+#   (r + gamma*v(s') - v(s))  +  (v(s) - q[s, ja])
+# where the second term is CONSTANT per (s, ja): the kernel only needs
+# to accumulate the BELLMAN RESIDUAL delta = r + gamma*v(s') - v(s) and
+# the visit count, and the host adds cnt*(v - q) between chunks.  That
+# shrinks the per-state gather payload from 62 columns (Q hi+lo was 50
+# of them) to 12 — so GP = 8 states share one 128-wide M row (16
+# columns each), an 8x cut in gather-matmul rows — and lets the
+# accumulator pack AP = 2 states per row (25 residual-sum + 25 count
+# columns each), a 2x cut in scatter rows.  Accumulating the RESIDUAL
+# (not the raw target) matters: the scatter operand is bf16, and near
+# convergence the raw target r + gamma*v' is O(1) while the residual is
+# small — quantizing the target would put a ~2^-9 absolute BIAS floor
+# under Q (measured: exploitability plateaued at 0.036 vs the 0.004
+# contract), while quantizing the residual keeps the bf16 error
+# proportional to the residual itself.  v(s) costs nothing: the acting
+# gather already fetched it.  The host-side (v - q) term uses the EXACT
+# f32 q and v (the kernel subtracted the double-bf16 v, ~2^-17 apart).
 GP, GCOLS = 8, 16                      # states per M row, cols per state
 PCOL_PI_A, PCOL_PI_B, PCOL_V, PCOL_V_LO = 0, 5, 10, 11
 AP, ASTRIDE = 2, 50                    # states per acc row, col stride
@@ -560,11 +568,11 @@ def _packed_body(seed_ref, m_ref, planes, ra_ref, ca_ref, rb_ref, cb_ref,
         return a
 
     def retire(v_here, pend):
-        cpa, cbase, r, cont, valid = pend
-        tgt = r + cont * v_here
+        cpa, cbase, r, cont, v_prev, valid = pend
+        delta = r + cont * v_here - v_prev   # Bellman residual (see top)
         oh_td = (c_iota == (cbase[..., None] + PACC_TGT)).astype(jnp.float32)
         oh_ct = (c_iota == (cbase[..., None] + PACC_CNT)).astype(jnp.float32)
-        X = ((oh_td * tgt[..., None] + oh_ct)
+        X = ((oh_td * delta[..., None] + oh_ct)
              * valid[..., None]).astype(jnp.bfloat16)
         scatter_add(cpa, X, bounds(cpa, SLAB_A, n_slabs_a))
 
@@ -600,7 +608,8 @@ def _packed_body(seed_ref, m_ref, planes, ra_ref, ca_ref, rb_ref, cb_ref,
             cpm = cp // GP
             pre = gather_rows(cpm, bounds(cpm, SLAB_M, n_slabs_m))
             cols = collapse(pre, cp % GP)
-            retire(cols[PCOL_V] + cols[PCOL_V_LO], pend)
+            v_here = cols[PCOL_V] + cols[PCOL_V_LO]
+            retire(v_here, pend)
 
             inv = jnp.float32(1.0 / 65536.0)
             ua = sk._u16(bits0, 0).astype(jnp.float32) * inv
@@ -618,14 +627,14 @@ def _packed_body(seed_ref, m_ref, planes, ra_ref, ca_ref, rb_ref, cb_ref,
             term = goal | trunc
             cont = jnp.where(term, 0.0, gamma_f)
             new_pend = (cp // AP, cbase, r.astype(jnp.float32), cont,
-                        jnp.ones(blk_shape, jnp.float32))
+                        v_here, jnp.ones(blk_shape, jnp.float32))
             return (nra, nca, nrb, ncb, npz, t2, new_pend,
                     rew_acc + jnp.sum(r),
                     goal_acc + jnp.sum(goal.astype(jnp.int32)),
                     trunc_acc + jnp.sum(trunc.astype(jnp.int32)))
 
         init = (ra_ref[sl, :], ca_ref[sl, :], rb_ref[sl, :], cb_ref[sl, :],
-                p_ref[sl, :], t_ref[sl, :], (zi, zi, zf, zf, zf),
+                p_ref[sl, :], t_ref[sl, :], (zi, zi, zf, zf, zf, zf),
                 *carry0)
         (ra, ca, rb, cb, p, t, pend,
          rew_acc, goal_acc, trunc_acc) = jax.lax.fori_loop(
@@ -694,7 +703,8 @@ def packed_learner_chunk(cfg: EnvConfig, seed, m_packed, state_fields,
                          interpret: bool = False):
     """Packed-layout fused chunk (the big-grid fast path).  ``m_packed``
     [spm(cfg), 128] bfloat16 from `pack_m2`; returns (new_fields,
-    acc [sacc(cfg), 128] f32, stats[3]) — decode acc with `unpack_acc2`.
+    acc [sacc(cfg), 128] f32, stats[3]) — decode acc with `unpack_acc2`
+    (Bellman-residual sums + counts; add cnt*(v - q) for TD sums).
     Roughly 3x less matmul work per step than `learner_chunk` on one big
     grid (8x fewer gather rows, 2x fewer scatter rows), because the
     frozen-within-chunk q never needs to live on chip."""
@@ -791,7 +801,9 @@ def pack_m2(cfg, pi_a, pi_b, v, eps, eps_b=None) -> jnp.ndarray:
 
 
 def unpack_acc2(cfg, acc) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """acc [sacc, 128] -> dense (sum_target, cnt), each [nS, 5, 5]."""
+    """acc [sacc, 128] -> dense (sum_residual, cnt), each [nS, 5, 5].
+    The per-visit TD is residual + (v - q) with v/q frozen in-chunk, so
+    sum_td = sum_residual + cnt * (v - q) (see the layout comment)."""
     codes = jnp.asarray(_cell_rows(cfg))
     nS = codes.shape[0]
     idx = (codes // AP) * LANES + (codes % AP) * ASTRIDE
@@ -991,11 +1003,14 @@ def fused_minimax_train(cfg, batch: int, n_chunks: int,
 
     ``packed`` selects the PACKED kernel layout (GP states per M row,
     target-sum accumulation with host-side q subtraction — see the
-    layout comment at the top); default None auto-selects it for grids
-    whose unpacked tables would be slabbed (big boards/mixtures).  Both
-    layouts step bit-identical trajectories for equal packed policy
-    values; their accumulated updates are equal up to f32 summation
-    order."""
+    layout comment at the top); default None selects it everywhere (it
+    measured 406M vs 305M steps/s on 5x4, 64.9M vs 15.1M on 11x7 and
+    134M vs 45.5M on the 3-variant mixture, round 4, and its per-visit
+    bf16 quantization is no coarser).  Both layouts step bit-identical
+    trajectories for equal packed policy values; their accumulated
+    updates are equal up to f32 summation order and per-visit bf16
+    rounding, so cross-layout runs diverge chaotically but match
+    statistically.  Pass packed=False for the legacy layout."""
     from ..agents.learners import solve_matrix_games
     from ..core import tables
     if isinstance(cfg, tuple):
@@ -1003,7 +1018,7 @@ def fused_minimax_train(cfg, batch: int, n_chunks: int,
     else:
         nS = tables.build_statespace(cfg).nS
     if packed is None:
-        packed = _spc_any(cfg) > 2 * SLAB_MAX
+        packed = True
 
     n = jnp.zeros((nS, 5, 5), jnp.float32)
     if init is None:
@@ -1067,13 +1082,16 @@ def fused_minimax_train(cfg, batch: int, n_chunks: int,
             return solve_matrix_games(q, iters=solver_iters)
 
     @jax.jit
-    def between(q, n, acc, lr_now, eps_now):
+    def between(q, n, v_chunk, acc, lr_now, eps_now):
         """Everything between kernel chunks in ONE jitted dispatch
         (tunneled backends pay ~0.4 s per eager op): count-normalized Q
-        update, RM+ re-solve, and repacking M with traced lr/eps."""
+        update, RM+ re-solve, and repacking M with traced lr/eps.
+        ``v_chunk`` is the v that was packed into the chunk's M (the
+        packed kernel accumulates residuals against it)."""
         if packed:
-            sum_tgt, cnt = unpack_acc2(cfg, acc)
-            sum_td = sum_tgt - cnt * q     # q frozen within the chunk
+            sum_res, cnt = unpack_acc2(cfg, acc)
+            # per-visit td = residual + (v - q); both frozen in-chunk
+            sum_td = sum_res + cnt * (v_chunk[:, None, None] - q)
         else:
             sum_td, cnt = unpack_acc(cfg, acc)
         n = n + cnt
@@ -1125,7 +1143,7 @@ def fused_minimax_train(cfg, batch: int, n_chunks: int,
                 fields, acc, stats = chunk(seed * 1_000_003 + k, m, fields)
                 kf = k.astype(jnp.float32)
                 q, n, v, pa, pb, m = between(
-                    q, n, acc, lr_at(kf),
+                    q, n, v, acc, lr_at(kf),
                     decay(eps, eps_halflife, kf, eps_min))
                 return (fields, q, n, v, pa, pb, m), jnp.stack(
                     [s.astype(jnp.int32) for s in stats])
@@ -1150,7 +1168,7 @@ def fused_minimax_train(cfg, batch: int, n_chunks: int,
         for k in range(start_chunk, end_chunk):
             fields, acc, stats = chunk(seed * 1_000_003 + k, m, fields)
             q, n, v, pi_a, pi_b, m = between(
-                q, n, acc, jnp.float32(lr_at(k)),
+                q, n, v, acc, jnp.float32(lr_at(k)),
                 jnp.float32(decay(eps, eps_halflife, k, eps_min)))
             if avg_after and k >= avg_after:
                 pa_sum = pi_a if pa_sum is None else accum(pa_sum, pi_a)
@@ -1227,7 +1245,7 @@ def fused_best_response_train(cfg: EnvConfig, opp_policy, side: str,
     opp_oh = jax.nn.one_hot(opp, N_ACTIONS, dtype=jnp.float32)
     learn_a = side == "player_a"
     if packed is None:
-        packed = _spc_any(cfg) > 2 * SLAB_MAX
+        packed = True
 
     q = jnp.zeros((nS, 5, 5), jnp.float32)
     n = jnp.zeros((nS, 5, 5), jnp.float32)
@@ -1259,10 +1277,10 @@ def fused_best_response_train(cfg: EnvConfig, opp_policy, side: str,
         return pack_m(cfg, pa, pb, q, v, ea, eps_b=eb)
 
     @jax.jit
-    def between(q, n, acc, lr_now, eps_now):
+    def between(q, n, v_chunk, acc, lr_now, eps_now):
         if packed:
-            sum_tgt, cnt = unpack_acc2(cfg, acc)
-            sum_td = sum_tgt - cnt * q
+            sum_res, cnt = unpack_acc2(cfg, acc)
+            sum_td = sum_res + cnt * (v_chunk[:, None, None] - q)
         else:
             sum_td, cnt = unpack_acc(cfg, acc)
         n = n + cnt
@@ -1307,7 +1325,7 @@ def fused_best_response_train(cfg: EnvConfig, opp_policy, side: str,
     for k in range(n_chunks):
         fields, acc, stats = chunk(seed * 1_000_003 + k, m, fields)
         q, n, v, pi_a, pi_b, m = between(
-            q, n, acc, jnp.float32(lr_at(k)), jnp.float32(eps_at(k)))
+            q, n, v, acc, jnp.float32(lr_at(k)), jnp.float32(eps_at(k)))
         if k % 16 == 0 or k == n_chunks - 1:
             history.append(stats)
     history = [tuple(int(np.asarray(x)) for x in row) for row in history]

@@ -46,6 +46,20 @@ def test_alternating_demo():
     assert events["best_response_vs_random"]["win_rate"] > 0.95
 
 
+def test_train_best_response_example():
+    """--best-response trains the reference's single-agent shape (frozen
+    random opponent) end-to-end on the fused kernel and reports the gap
+    to the exact best-response value."""
+    ev = _events(_run("examples/train_minimax_tpu.py",
+                      "--best-response", "player_a", "--interpret",
+                      "--steps", "1280", "--envs", "512"))
+    fin = ev["finished_best_response"]
+    assert fin["side"] == "player_a"
+    assert fin["env_steps"] == 1280 * 512
+    assert fin["mean_gap_to_exact_br"] < 1.0   # smoke: field exists + sane
+    assert "eval_episode_stats" in ev
+
+
 def test_train_fused_checkpoint_resume(tmp_path):
     """The flagship fused trainer checkpoints and resumes exactly:
     a second invocation with a larger --steps picks up at the saved

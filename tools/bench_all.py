@@ -198,6 +198,81 @@ def bench_pallas_minimax_learner(quick):
     return B * T * K / dt
 
 
+def _bench_learner_chunks(cfg, packed, B, T, K, mg=False):
+    """Shared driver: K chained fused chunks, real host fetch."""
+    from gym_soccer_tpu.core import tables
+    from gym_soccer_tpu.ops import learner_kernel as lk
+    if mg:
+        nS = sum(tables.build_statespace(c).nS for c in cfg)
+    else:
+        nS = tables.build_statespace(cfg).nS
+    uni = jnp.full((nS, 5), 0.2, jnp.float32)
+    if packed:
+        m = lk.pack_m2(cfg, uni, uni, jnp.zeros(nS), eps=0.3)
+    else:
+        m = lk.pack_m(cfg, uni, uni, jnp.zeros((nS, 5, 5)), jnp.zeros(nS),
+                      eps=0.3)
+    if mg:
+        planes, fields0 = lk.init_state_fields(cfg, B)
+        f = (lk.multigrid_packed_learner_chunk if packed
+             else lk.multigrid_learner_chunk)
+        call = lambda k, fl: f(cfg, k, m, planes, fl, B, T)
+    else:
+        fields0 = lk.init_state_fields(cfg, B)
+        f = lk.packed_learner_chunk if packed else lk.learner_chunk
+        call = lambda k, fl: f(cfg, k, m, fl, B, T)
+
+    def run():
+        fields = fields0
+        for k in range(K):
+            fields, acc, stats = call(k, fields)
+        fetch(acc.sum())
+
+    dt = timed(run)
+    return B * T * K / dt
+
+
+def bench_pallas_minimax_learner_packed(quick):
+    """Fused minimax-Q learner, PACKED layout (8 states per M row,
+    target-sum accumulation; ops/learner_kernel.packed_learner_chunk)."""
+    return _bench_learner_chunks(CFG, True, 32768, 64, 4 if quick else 16)
+
+
+def bench_pallas_learner_11x7(quick):
+    """Fused learner on the reference's own big grid (nS=11705,
+    soccer_simultaneous_env.py:501) — the packed layout is what makes
+    this fast (the unpacked kernel walks 14 table slabs per block)."""
+    return _bench_learner_chunks(EnvConfig(11, 7, 0.2), True, 32768, 64,
+                                 2 if quick else 8)
+
+
+def bench_pallas_br_learner(quick):
+    """Fused frozen-opponent best response (the reference's single-agent
+    training shape, soccer_simultaneous_env.py:187-188) — same chunk
+    kernel, opponent's packed columns one-hot with zero exploration."""
+    from gym_soccer_tpu.core import tables
+    from gym_soccer_tpu.ops import learner_kernel as lk
+    from gym_soccer_tpu.utils.policies import get_random_policy_array
+    B, T = 32768, 64
+    K = 4 if quick else 16
+    nS = tables.build_statespace(CFG).nS
+    opp = jnp.asarray(get_random_policy_array(nS, 5, seed=42))
+    opp_oh = jax.nn.one_hot(opp, 5, dtype=jnp.float32)
+    uni = jnp.full((nS, 5), 0.2, jnp.float32)
+    m = lk.pack_m2(CFG, uni, opp_oh, jnp.zeros(nS), eps=0.3, eps_b=0.0)
+    fields0 = lk.init_state_fields(CFG, B)
+
+    def run():
+        fields = fields0
+        for k in range(K):
+            fields, acc, stats = lk.packed_learner_chunk(CFG, k, m, fields,
+                                                         B, T)
+        fetch(acc.sum())
+
+    dt = timed(run)
+    return B * T * K / dt
+
+
 def bench_pallas_iql_learner(quick):
     """Fused independent-Q learner (both players' act/step/TD on-chip)."""
     from gym_soccer_tpu.core import tables
@@ -242,6 +317,13 @@ def bench_pallas_multigrid_learner(quick):
 
     dt = timed(run)
     return B * T * K / dt
+
+
+def bench_pallas_multigrid_packed(quick):
+    """Packed-layout fused learner over the 3-variant mixture."""
+    cfgs = (CFG, EnvConfig(6, 5, 0.1), EnvConfig(8, 6, 0.3))
+    return _bench_learner_chunks(cfgs, True, 32768, 64,
+                                 2 if quick else 8, mg=True)
 
 
 def bench_pallas_altq_learner(quick):
@@ -396,8 +478,12 @@ def main():
         ("xla_alternating_engine", bench_alternating),
         ("xla_altq_learner", bench_altq_learner),
         ("pallas_minimax_learner", bench_pallas_minimax_learner),
+        ("pallas_minimax_learner_packed", bench_pallas_minimax_learner_packed),
+        ("pallas_learner_11x7_packed", bench_pallas_learner_11x7),
+        ("pallas_br_learner", bench_pallas_br_learner),
         ("pallas_iql_learner", bench_pallas_iql_learner),
         ("pallas_multigrid_learner", bench_pallas_multigrid_learner),
+        ("pallas_multigrid_learner_packed", bench_pallas_multigrid_packed),
         ("pallas_altq_learner", bench_pallas_altq_learner),
         ("parity_bit_exact", bench_parity),
         ("parity_kernel_fused", bench_parity_kernel),

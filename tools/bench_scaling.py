@@ -15,6 +15,14 @@ Weak scaling: the per-device env count is fixed and the batch grows with
 the mesh (the deployment-relevant regime for embarrassingly-parallel env
 shards + all-reduced learners).  Efficiency(N) = thr(N) / (N * thr(1)).
 
+Each row also carries ``efficiency_device_work``: work per process-CPU-
+second relative to 1 device.  On the virtual mesh all device compute
+burns process CPU time, so this column isolates the sharded PROGRAM's
+cost (collectives, partitioning) from 2-vCPU host oversubscription —
+wall-clock efficiency collapses ~N/2-fold on this box even for a perfect
+program, CPU-time-per-work does not.  A device-work efficiency near 1.0
+with a low wall efficiency therefore indicts the host, not the sharding.
+
 Outputs one JSON line per (path, n_devices) plus a summary line; exit code
 0 always (measurement tool, not a gate).
 
@@ -62,13 +70,26 @@ def _force_virtual_mesh(n_devices: int) -> None:
 
 
 def _timed(fn, n=3):
+    """Median (wall, process-CPU) seconds per call.
+
+    On the VIRTUAL mesh every 'device' is a thread of this process, so
+    compute burns process CPU time: work per CPU-second isolates the
+    sharded program's cost from 2-vCPU host oversubscription (which
+    inflates wall time but not CPU time per unit of work).  On a real
+    slice the CPU column measures only host-side dispatch and is not
+    reported as device work."""
+    import resource
     fn()  # warmup / compile
-    ts = []
+    ts, cs = [], []
     for _ in range(n):
+        r0 = resource.getrusage(resource.RUSAGE_SELF)
         t0 = time.perf_counter()
         fn()
         ts.append(time.perf_counter() - t0)
-    return sorted(ts)[n // 2]
+        r1 = resource.getrusage(resource.RUSAGE_SELF)
+        cs.append((r1.ru_utime + r1.ru_stime)
+                  - (r0.ru_utime + r0.ru_stime))
+    return sorted(ts)[n // 2], sorted(cs)[n // 2]
 
 
 def sweep(device_counts, envs_per_device=2048, n_steps=200, reps=3):
@@ -104,9 +125,10 @@ def sweep(device_counts, envs_per_device=2048, n_steps=200, reps=3):
             st, (r, d, t) = roll(st)
             np.asarray(r)  # real host fetch (see CLAUDE.md on fake-ready)
 
-        dt = _timed(run_roll, reps)
+        dt, dc = _timed(run_roll, reps)
         rows.append({"path": "rollout", "n_devices": n, "n_envs": B,
-                     "steps_per_s": B * n_steps / dt})
+                     "steps_per_s": B * n_steps / dt,
+                     "cpu_s_per_call": dc})
 
         # --- sharded fused minimax-Q training (replicated Q, psum'd TDs) ---
         uniform = jnp.full((nS, 5), 0.2, jnp.float32)
@@ -125,9 +147,10 @@ def sweep(device_counts, envs_per_device=2048, n_steps=200, reps=3):
             lstate, td = train(lstate)
             np.asarray(td)
 
-        dt = _timed(run_train, reps)
+        dt, dc = _timed(run_train, reps)
         rows.append({"path": "minimax_train", "n_devices": n, "n_envs": B,
-                     "steps_per_s": B * n_steps / dt})
+                     "steps_per_s": B * n_steps / dt,
+                     "cpu_s_per_call": dc})
 
         # --- sharded FUSED learner chunks (pallas kernels per device,
         # psum'd accumulators).  Off-TPU the kernels run in interpret
@@ -154,9 +177,10 @@ def sweep(device_counts, envs_per_device=2048, n_steps=200, reps=3):
             fields, acc, stats = chunkf(0, mm, fields)
             np.asarray(acc)
 
-        dt = _timed(run_fused, reps)
+        dt, dc = _timed(run_fused, reps)
         rows.append({"path": "fused_learner_chunk", "n_devices": n,
-                     "n_envs": fB, "steps_per_s": fB * f_T / dt})
+                     "n_envs": fB, "steps_per_s": fB * f_T / dt,
+                     "cpu_s_per_call": dc})
 
         # --- state-sharded RM+ re-solve (the model-parallel stage,
         # parallel/mesh.sharded_solve_fn): a FIXED nS-state batch of 5x5
@@ -173,16 +197,33 @@ def sweep(device_counts, envs_per_device=2048, n_steps=200, reps=3):
             v, x, y = solvef(qrand)
             np.asarray(v)
 
-        dt = _timed(run_solve, reps)
+        dt, dc = _timed(run_solve, reps)
         rows.append({"path": "sharded_solve", "n_devices": n,
-                     "n_envs": nS, "steps_per_s": nS * solve_iters / dt})
+                     "n_envs": nS, "steps_per_s": nS * solve_iters / dt,
+                     "cpu_s_per_call": dc})
 
     # efficiency vs linear extrapolation of the 1-device number
     base = {r["path"]: r["steps_per_s"] for r in rows if r["n_devices"] == 1}
+    # Device-work efficiency: steps per CPU-second relative to 1 device.
+    # On the virtual mesh this isolates the sharded PROGRAM's cost (extra
+    # collectives, partitioning overhead) from host oversubscription:
+    # N threads timesharing 2 vCPUs inflate wall time ~N/2-fold even for
+    # a perfect program, but not CPU time per unit of work.  The solve
+    # path is strong scaling over a fixed batch, so its per-step work is
+    # constant too and the same normalization applies.
+    # work-per-CPU-second at 1 device: n_envs / cpu_s (the per-step work
+    # of every path is proportional to its n_envs, including the
+    # strong-scaling solve whose n_envs is the fixed state count)
+    wbase = {r["path"]: r["n_envs"] / r["cpu_s_per_call"]
+             for r in rows if r["n_devices"] == 1 and r["cpu_s_per_call"] > 0}
     for r in rows:
         b = base.get(r["path"])
         if b:
             r["efficiency_vs_linear"] = r["steps_per_s"] / (r["n_devices"] * b)
+        wb = wbase.get(r["path"])
+        if wb and r["cpu_s_per_call"] > 0:
+            r["efficiency_device_work"] = (
+                (r["n_envs"] / r["cpu_s_per_call"]) / wb)
     return rows
 
 
