@@ -56,6 +56,16 @@ COL_QB, COL_QB_LO = 10, 15
 ACC_TD_A, ACC_TD_B = 0, 8
 ACC_CNT_A, ACC_CNT_B = 16, 24
 
+# PACKED layout (default; see ops/learner_kernel's PACKED comment): a
+# turnless cellpair needs 20 M columns (both turns' q hi/lo) and 20
+# accumulator columns (td + cnt per turn), so GP_T = 6 cellpairs share
+# each 128-wide row on both sides — 6x fewer gather/scatter matmul
+# rows.  The kernel accumulates Bellman RESIDUALS (r + gamma*V(s') -
+# V(s), V = the mover's max/min from the acting gather) and the host
+# completes the TD with the exact cnt * (V - q[s, a]) term.
+GP_T, GCOLS_T = 6, 20
+TACC_TD, TACC_CNT = 0, 5        # within a 10-col turn block (B at +10)
+
 
 def _altq_kernel(smem_ref, m_ref, ra_ref, ca_ref, rb_ref, cb_ref,
                  p_ref, turn_ref, t_ref,
@@ -202,6 +212,243 @@ def _altq_kernel(smem_ref, m_ref, ra_ref, ca_ref, rb_ref, cb_ref,
     stats_ref[0, 2] = truncs
 
 
+def _spm_t(cfg: EnvConfig) -> int:
+    """Packed row count (GP_T turnless cellpairs per row, M and acc)."""
+    from ..core import rules
+    from .learner_kernel import _pad_sp
+    return _pad_sp(-(-rules.n_cellpairs(cfg) // GP_T))
+
+
+def _altq_packed_kernel(smem_ref, m_ref, ra_ref, ca_ref, rb_ref, cb_ref,
+                        p_ref, turn_ref, t_ref,
+                        ora, oca, orb, ocb, op, oturn, ot, acc_ref,
+                        stats_ref,
+                        *, cfg: EnvConfig, n_steps: int, q_int: int,
+                        gamma: float, rb: int):
+    """Packed alternating-turn act/step/TD loop (see the PACKED layout
+    comment above): 6 cellpairs per M/acc row, residual accumulation."""
+    from ..core import rules
+    RBk = rb
+    seed = smem_ref[0].astype(jnp.uint32)
+    eps_int = smem_ref[1]
+    off = smem_ref[2]
+    R = ra_ref.shape[0]
+    n_blocks = R // RBk
+    SP = m_ref.shape[0]
+    SLAB = SP if SP <= 2 * SLAB_MAX else SLAB_MAX
+    n_slabs = SP // SLAB
+    blk_shape = (RBk, LANES)
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    rows_iota = jax.lax.broadcasted_iota(jnp.uint32, blk_shape, 0)
+    cols_iota = jax.lax.broadcasted_iota(jnp.uint32, blk_shape, 1)
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, blk_shape + (LANES,), 2)
+    gamma_f = jnp.float32(gamma)
+
+    gather_rows = make_gather(m_ref, SLAB, n_slabs, RBk)
+    scatter_add = make_scatter(acc_ref, SLAB, n_slabs, RBk, blk_shape)
+
+    def bounds(cp):
+        if n_slabs == 1:
+            return None
+        return jnp.min(cp) // SLAB, jnp.max(cp) // SLAB + 1
+
+    def mover_q(pre, g, turn):
+        """Group-select + hi/lo recombine + turn-block select -> the
+        mover's 5 q columns [rb, lanes]."""
+        is_a = turn == 0
+        qs = []
+        for k in range(N_ACTIONS):
+            sa = sb = None
+            for gg in range(GP_T):
+                base = gg * GCOLS_T
+                ca_v = jnp.where(
+                    g == gg, pre[:, base + COL_QA + k, :]
+                    + pre[:, base + COL_QA_LO + k, :], 0.0)
+                cb_v = jnp.where(
+                    g == gg, pre[:, base + COL_QB + k, :]
+                    + pre[:, base + COL_QB_LO + k, :], 0.0)
+                sa = ca_v if sa is None else sa + ca_v
+                sb = cb_v if sb is None else sb + cb_v
+            qs.append(jnp.where(is_a, sa, sb))
+        return qs
+
+    def minimax_v(qs, turn):
+        vmax, vmin = qs[0], qs[0]
+        for k in range(1, N_ACTIONS):
+            vmax = jnp.maximum(vmax, qs[k])
+            vmin = jnp.minimum(vmin, qs[k])
+        return jnp.where(turn == 0, vmax, vmin)
+
+    def retire(v_here, pend):
+        cpa, td_col, r, cont, v_prev, valid = pend
+        res = r + cont * v_here - v_prev     # Bellman residual
+        X = (((c_iota == td_col[..., None]).astype(jnp.float32)
+              * res[..., None]
+              + (c_iota == (td_col[..., None] + TACC_CNT)).astype(
+                jnp.float32))
+             * valid[..., None]).astype(jnp.bfloat16)
+        scatter_add(cpa, X, bounds(cpa))
+
+    def block(blk, carry0):
+        sl = pl.ds(blk * RBk, RBk)
+        lane = ((blk.astype(jnp.uint32) * RBk + rows_iota)
+                * jnp.uint32(LANES) + cols_iota)
+        zi = jnp.zeros(blk_shape, jnp.int32)
+        zf = jnp.zeros(blk_shape, jnp.float32)
+
+        def step(i, c):
+            (ra, ca, rb, cb, p, turn, t, pend,
+             rew_acc, goal_acc, trunc_acc) = c
+            bits0 = sk._random_word(seed, i + off, 0, lane)
+            bits1 = sk._random_word(seed, i + off, 1, lane)
+            bits2 = sk._random_word(seed, i + off, 2, lane)
+
+            cp = rules.cellpair_encode(jnp, ra, ca, rb, cb, p, cfg)
+            cpm = cp // GP_T
+            g = cp % GP_T
+            pre = gather_rows(cpm, bounds(cpm))
+            qs = mover_q(pre, g, turn)
+            v_here = minimax_v(qs, turn)
+            retire(v_here, pend)
+
+            sgn = jnp.where(turn == 0, 1.0, -1.0)
+            best = jnp.zeros(blk_shape, jnp.int32)
+            bestv = sgn * qs[0]
+            for k in range(1, N_ACTIONS):
+                sc = sgn * qs[k]
+                upd = sc > bestv
+                best = jnp.where(upd, k, best)
+                bestv = jnp.maximum(bestv, sc)
+            u_expl = (sk._u16(bits0, 0)).astype(jnp.int32)
+            rand = (sk._u16(bits0, 1)).astype(jnp.int32) % N_ACTIONS
+            a = jnp.where(u_expl < eps_int, rand, best)
+
+            nra, nca, nrb, ncb, npz, goal, r = sk.alt_transition_core(
+                ra, ca, rb, cb, p, turn, a, bits1, cfg, q_int)
+            nra, nca, nrb, ncb, npz, t2, trunc = sk.autoreset_core(
+                nra, nca, nrb, ncb, npz, t, goal, bits2, cfg)
+            term = goal | trunc
+            nturn = jnp.where(term, 0, 1 - turn)
+            cont = jnp.where(term, 0.0, gamma_f)
+
+            td_col = g * GCOLS_T + turn * 10 + TACC_TD + a
+            new_pend = (cp // GP_T, td_col, r.astype(jnp.float32), cont,
+                        v_here, jnp.ones(blk_shape, jnp.float32))
+            return (nra, nca, nrb, ncb, npz, nturn, t2, new_pend,
+                    rew_acc + jnp.sum(r),
+                    goal_acc + jnp.sum(goal.astype(jnp.int32)),
+                    trunc_acc + jnp.sum(trunc.astype(jnp.int32)))
+
+        init = (ra_ref[sl, :], ca_ref[sl, :], rb_ref[sl, :], cb_ref[sl, :],
+                p_ref[sl, :], turn_ref[sl, :], t_ref[sl, :],
+                (zi, zi, zf, zf, zf, zf), *carry0)
+        (ra, ca, rb, cb, p, turn, t, pend,
+         rew_acc, goal_acc, trunc_acc) = jax.lax.fori_loop(
+            0, n_steps, step, init)
+
+        # trailing gather retires the final step's TD
+        cp = rules.cellpair_encode(jnp, ra, ca, rb, cb, p, cfg)
+        cpm = cp // GP_T
+        pre = gather_rows(cpm, bounds(cpm))
+        retire(minimax_v(mover_q(pre, cp % GP_T, turn), turn), pend)
+
+        ra_ref[sl, :], ca_ref[sl, :] = ra, ca
+        rb_ref[sl, :], cb_ref[sl, :] = rb, cb
+        p_ref[sl, :], turn_ref[sl, :], t_ref[sl, :] = p, turn, t
+        return (rew_acc, goal_acc, trunc_acc)
+
+    z = jnp.int32(0)
+    rew, goals, truncs = jax.lax.fori_loop(0, n_blocks, block, (z, z, z))
+    ora[:], oca[:] = ra_ref[:], ca_ref[:]
+    orb[:], ocb[:] = rb_ref[:], cb_ref[:]
+    op[:], oturn[:], ot[:] = p_ref[:], turn_ref[:], t_ref[:]
+    stats_ref[0, 0] = rew
+    stats_ref[0, 1] = goals
+    stats_ref[0, 2] = truncs
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "batch", "n_steps",
+                                             "gamma", "interpret"))
+def altq_packed_chunk(cfg: EnvConfig, seed, eps_int, m_packed, state_fields,
+                      batch: int, n_steps: int, gamma: float = 0.99,
+                      step_offset=0, interpret: bool = False):
+    """Packed-layout fused alternating-learner chunk.  ``m_packed``
+    [_spm_t(cfg), 128] bfloat16 from `pack_alt_m2`; decode acc with
+    `unpack_alt_acc2` (residual sums + counts)."""
+    assert n_steps > 0
+    assert batch % LANES == 0, f"batch must be a multiple of {LANES}"
+    shape = (batch // LANES, LANES)
+    SP = _spm_t(cfg)
+    rb = next(r for r in range(min(RB, shape[0]), 0, -1)
+              if shape[0] % r == 0)
+    vmem_mb = SP * LANES * (2 + 4) / 2**20
+    if vmem_mb > 14:
+        raise ValueError(
+            f"grid too large for the fused learner kernel: packed tables "
+            f"need ~{vmem_mb:.0f} MB of VMEM ({SP} rows); "
+            f"use agents.learners.altq_train (HBM tables) instead")
+    q_int = int(round(cfg.slip_prob * 65536))
+    kernel = functools.partial(
+        _altq_packed_kernel, cfg=cfg, n_steps=n_steps, q_int=q_int,
+        gamma=gamma, rb=rb)
+    out_shapes = ([jax.ShapeDtypeStruct(shape, jnp.int32)] * 7 +
+                  [jax.ShapeDtypeStruct((SP, LANES), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 4), jnp.int32)])
+    smem_in = jnp.stack([jnp.asarray(seed, jnp.int32),
+                         jnp.asarray(eps_int, jnp.int32),
+                         jnp.asarray(step_offset, jnp.int32)])
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=tuple(out_shapes),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)] +
+                 [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+        out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 8 +
+                        [pl.BlockSpec(memory_space=pltpu.SMEM)]),
+        input_output_aliases={2 + i: i for i in range(7)},
+        interpret=interpret,
+    )(smem_in, m_packed, *state_fields)
+    *fields, acc, stats = outs
+    return tuple(fields), acc, (stats[0, 0], stats[0, 1], stats[0, 2])
+
+
+def pack_alt_m2(cfg: EnvConfig, q) -> jnp.ndarray:
+    """Pack the alternating Q table [nS_alt, 5] into the PACKED M
+    [_spm_t(cfg), 128] bfloat16 (GP_T cellpairs per row, both turns'
+    hi/lo blocks per cellpair)."""
+    SP = _spm_t(cfg)
+    rows, turn = _alt_rows(cfg)
+    rows = jnp.asarray(rows)
+    tb = jnp.asarray(turn)
+    q = jnp.asarray(q, jnp.float32)
+    hi = q.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = q - hi
+    # per dense state: its (row, turn) slot's hi/lo column bases
+    idx = (rows // GP_T) * LANES + (rows % GP_T) * GCOLS_T + tb * 10
+    flat = jnp.zeros(SP * LANES, jnp.float32)
+    for k in range(N_ACTIONS):
+        flat = flat.at[idx + COL_QA + k].set(hi[:, k])
+        flat = flat.at[idx + COL_QA_LO + k].set(lo[:, k])
+    return flat.reshape(SP, LANES).astype(jnp.bfloat16)
+
+
+def unpack_alt_acc2(cfg: EnvConfig, acc) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """acc [_spm_t, 128] -> dense (sum_residual, cnt), each [nS_alt, 5].
+    The per-visit TD is residual + (V - q[s, a]) with V = max_a q (A to
+    move) / min_a q (B to move), so sum_td = sum_res + cnt * (V[:, None]
+    - q)."""
+    rows, turn = _alt_rows(cfg)
+    rows = jnp.asarray(rows)
+    tb = jnp.asarray(turn)
+    idx = (rows // GP_T) * LANES + (rows % GP_T) * GCOLS_T + tb * 10
+    flat = acc.reshape(-1)
+    cols = jnp.arange(N_ACTIONS)[None, :]
+    sum_res = flat[idx[:, None] + TACC_TD + cols]
+    cnt = flat[idx[:, None] + TACC_CNT + cols]
+    return sum_res, cnt
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "batch", "n_steps",
                                              "gamma", "interpret"))
 def altq_chunk(cfg: EnvConfig, seed, eps_int, m_packed, state_fields,
@@ -316,7 +563,8 @@ def fused_altq_train(cfg: EnvConfig, batch: int, n_chunks: int,
                      lr_anneal_pow: float = 1.0, seed: int = 0,
                      interpret: bool = False, init=None, mesh=None,
                      start_chunk: int = 0, fields_init=None,
-                     return_state: bool = False):
+                     return_state: bool = False,
+                     packed: bool | None = None):
     """Chunked fused alternating-turn Q-learning.  Returns (q,
     stats_history); ``q`` [nS_alt, 5] has `alt_value_iteration`'s exact
     minimax values as its fixpoint (extract a policy with
@@ -342,6 +590,8 @@ def fused_altq_train(cfg: EnvConfig, batch: int, n_chunks: int,
     from q alone, so no schedule state needs recovering)."""
     from ..envs.soccer_alternating_env import build_alt_tables
     nS = build_alt_tables(cfg).nS
+    if packed is None:
+        packed = True
     q = (jnp.zeros((nS, N_ACTIONS), jnp.float32) if init is None
          else jnp.asarray(init, jnp.float32))
     assert q.shape == (nS, N_ACTIONS)
@@ -353,23 +603,35 @@ def fused_altq_train(cfg: EnvConfig, batch: int, n_chunks: int,
         from jax.sharding import NamedSharding, PartitionSpec
         from ..parallel.mesh import sharded_altq_chunk_fn
         sharded = sharded_altq_chunk_fn(cfg, mesh, batch, chunk_len,
-                                        gamma=gamma, interpret=interpret)
+                                        gamma=gamma, interpret=interpret,
+                                        packed=packed)
         sh = NamedSharding(mesh, PartitionSpec("env", None))
         fields = tuple(jax.device_put(f, sh) for f in fields)
 
         def chunk(seed_k, eps_int, m, fields, step_offset):
             return sharded(seed_k, eps_int, m, fields, step_offset)
     else:
+        chunk_f = altq_packed_chunk if packed else altq_chunk
+
         def chunk(seed_k, eps_int, m, fields, step_offset):
-            return altq_chunk(cfg, seed_k, eps_int, m, fields, batch,
-                              chunk_len, gamma=gamma,
-                              step_offset=step_offset, interpret=interpret)
+            return chunk_f(cfg, seed_k, eps_int, m, fields, batch,
+                           chunk_len, gamma=gamma,
+                           step_offset=step_offset, interpret=interpret)
+
+    pack_f = pack_alt_m2 if packed else pack_alt_m
+    _, turn_arr = _alt_rows(cfg)
+    is_a = jnp.asarray(turn_arr == 0)
 
     @jax.jit
     def between(q, acc, lr_now):
-        sum_td, cnt = unpack_alt_acc(cfg, acc)
+        if packed:
+            sum_res, cnt = unpack_alt_acc2(cfg, acc)
+            v = jnp.where(is_a, q.max(-1), q.min(-1))
+            sum_td = sum_res + cnt * (v[:, None] - q)
+        else:
+            sum_td, cnt = unpack_alt_acc(cfg, acc)
         q = q + lr_now * sum_td / jnp.maximum(cnt, 1.0)
-        return q, pack_alt_m(cfg, q)
+        return q, pack_f(cfg, q)
 
     def lr_at(k):
         d = lr
@@ -383,7 +645,7 @@ def fused_altq_train(cfg: EnvConfig, batch: int, n_chunks: int,
                    if eps_halflife else 1.0)
         return max(d, eps_min)
 
-    m = pack_alt_m(cfg, q)
+    m = pack_f(cfg, q)
     history = []
     end_chunk = start_chunk + n_chunks
     for k in range(start_chunk, end_chunk):

@@ -22,9 +22,10 @@ M is FROZEN within a chunk (chunk-stale TD baselines, the same cadence
 as agents/learners.iql_train with per-chunk batch updates); the wrapper
 applies count-normalized mean updates between chunks.  Self-play IQL
 has no equilibrium guarantee (that is minimax-Q's job); the fused
-kernel covers the same self-play surface as agents/learners.iql_* —
-frozen-opponent best-response training stays on the XLA path, which
-supports frozen policies directly.
+kernel covers the same self-play surface as agents/learners.iql_*;
+for frozen-opponent best-response training at fused speed use
+ops/learner_kernel.fused_best_response_train (the reference's
+single-agent mode on the packed minimax kernel).
 """
 from __future__ import annotations
 
@@ -46,6 +47,18 @@ COL_QA, COL_QA_LO = 0, 5
 COL_QB, COL_QB_LO = 10, 15
 ACC_TD_A, ACC_TD_B = 0, 8
 ACC_CNT_A, ACC_CNT_B = 16, 24
+
+# PACKED layout (default; see ops/learner_kernel's PACKED comment for
+# the scheme).  A state needs 20 M columns (both players' q hi/lo) and
+# 20 accumulator columns (td + cnt per player), so GP_I = 6 states share
+# each 128-wide row on BOTH sides — a 6x cut in gather AND scatter
+# matmul rows.  As in the minimax kernel, the scatter operand is bf16,
+# so the kernel accumulates the Bellman RESIDUAL per player
+# (r_side + gamma*maxq(s') - maxq(s), the maxes from the acting
+# gathers) and the host completes the TD with the exact
+# cnt * (maxq - q[s, a]) term between chunks.
+GP_I, GCOLS_I = 6, 20
+IACC_TD_A, IACC_CNT_A, IACC_TD_B, IACC_CNT_B = 0, 5, 10, 15
 
 
 def _iql_kernel(smem_ref, m_ref, ra_ref, ca_ref, rb_ref, cb_ref,
@@ -189,6 +202,242 @@ def _iql_kernel(smem_ref, m_ref, ra_ref, ca_ref, rb_ref, cb_ref,
     stats_ref[0, 2] = truncs
 
 
+def _spm_i(cfg: EnvConfig) -> int:
+    """Packed row count (GP_I states per row, both M and acc)."""
+    from ..core import rules
+    from .learner_kernel import _pad_sp
+    return _pad_sp(-(-rules.n_cellpairs(cfg) // GP_I))
+
+
+def _iql_packed_kernel(smem_ref, m_ref, ra_ref, ca_ref, rb_ref, cb_ref,
+                       p_ref, t_ref,
+                       ora, oca, orb, ocb, op, ot, acc_ref, stats_ref,
+                       *, cfg: EnvConfig, n_steps: int, q_int: int,
+                       gamma: float, rb: int):
+    """Packed dual-actor/TD loop: 6 states per M/acc row, residual
+    accumulation (see the PACKED layout comment above)."""
+    from ..core import rules
+    RBk = rb
+    seed = smem_ref[0].astype(jnp.uint32)
+    eps_int = smem_ref[1]
+    off = smem_ref[2]
+    R = ra_ref.shape[0]
+    n_blocks = R // RBk
+    SP = m_ref.shape[0]
+    SLAB = SP if SP <= 2 * SLAB_MAX else SLAB_MAX
+    n_slabs = SP // SLAB
+    blk_shape = (RBk, LANES)
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    rows_iota = jax.lax.broadcasted_iota(jnp.uint32, blk_shape, 0)
+    cols_iota = jax.lax.broadcasted_iota(jnp.uint32, blk_shape, 1)
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, blk_shape + (LANES,), 2)
+    gamma_f = jnp.float32(gamma)
+
+    gather_rows = make_gather(m_ref, SLAB, n_slabs, RBk)
+    scatter_add = make_scatter(acc_ref, SLAB, n_slabs, RBk, blk_shape)
+
+    def bounds(cp):
+        if n_slabs == 1:
+            return None
+        return jnp.min(cp) // SLAB, jnp.max(cp) // SLAB + 1
+
+    def collapse_qs(pre, g, base, base_lo):
+        """Per-lane group select + hi/lo recombine -> 5 q columns."""
+        qs = []
+        for k in range(N_ACTIONS):
+            s = None
+            for gg in range(GP_I):
+                contrib = jnp.where(
+                    g == gg,
+                    pre[:, gg * GCOLS_I + base + k, :]
+                    + pre[:, gg * GCOLS_I + base_lo + k, :], 0.0)
+                s = contrib if s is None else s + contrib
+            qs.append(s)
+        return qs
+
+    def greedy_and_max(qs):
+        best = jnp.zeros(blk_shape, jnp.int32)
+        bestv = qs[0]
+        for k in range(1, N_ACTIONS):
+            upd = qs[k] > bestv
+            best = jnp.where(upd, k, best)
+            bestv = jnp.maximum(bestv, qs[k])
+        return best, bestv
+
+    def retire(v_a, v_b, pend):
+        cpa, ca_base, cb_base, r, cont, va_prev, vb_prev, valid = pend
+        res_a = r + cont * v_a - va_prev     # Bellman residuals
+        res_b = -r + cont * v_b - vb_prev
+        X = (((c_iota == (ca_base[..., None] + IACC_TD_A)).astype(
+                jnp.float32) * res_a[..., None]
+              + (c_iota == (cb_base[..., None] + IACC_TD_B)).astype(
+                jnp.float32) * res_b[..., None]
+              + (c_iota == (ca_base[..., None] + IACC_CNT_A)).astype(
+                jnp.float32)
+              + (c_iota == (cb_base[..., None] + IACC_CNT_B)).astype(
+                jnp.float32))
+             * valid[..., None]).astype(jnp.bfloat16)
+        scatter_add(cpa, X, bounds(cpa))
+
+    def block(blk, carry0):
+        sl = pl.ds(blk * RBk, RBk)
+        lane = ((blk.astype(jnp.uint32) * RBk + rows_iota)
+                * jnp.uint32(LANES) + cols_iota)
+        zi = jnp.zeros(blk_shape, jnp.int32)
+        zf = jnp.zeros(blk_shape, jnp.float32)
+
+        def step(i, c):
+            (ra, ca, rb, cb, p, t, pend,
+             rew_acc, goal_acc, trunc_acc) = c
+            bits0 = sk._random_word(seed, i + off, 0, lane)
+            bits1 = sk._random_word(seed, i + off, 1, lane)
+            bits2 = sk._random_word(seed, i + off, 2, lane)
+            bits3 = sk._random_word(seed, i + off, 3, lane)
+
+            cp = rules.cellpair_encode(jnp, ra, ca, rb, cb, p, cfg)
+            cpm = cp // GP_I
+            g = cp % GP_I
+            pre = gather_rows(cpm, bounds(cpm))
+            qa = collapse_qs(pre, g, COL_QA, COL_QA_LO)
+            qb = collapse_qs(pre, g, COL_QB, COL_QB_LO)
+            ga, v_a = greedy_and_max(qa)
+            gb, v_b = greedy_and_max(qb)
+            retire(v_a, v_b, pend)
+
+            ua_e = sk._u16(bits0, 0).astype(jnp.int32)
+            ua_r = sk._u16(bits0, 1).astype(jnp.int32) % N_ACTIONS
+            ub_e = sk._u16(bits3, 0).astype(jnp.int32)
+            ub_r = sk._u16(bits3, 1).astype(jnp.int32) % N_ACTIONS
+            aa = jnp.where(ua_e < eps_int, ua_r, ga)
+            ab = jnp.where(ub_e < eps_int, ub_r, gb)
+
+            nra, nca, nrb, ncb, npz, goal, r = sk.transition_core(
+                ra, ca, rb, cb, p, aa, ab, bits1, bits2, cfg, q_int)
+            nra, nca, nrb, ncb, npz, t2, trunc = sk.autoreset_core(
+                nra, nca, nrb, ncb, npz, t, goal, bits2, cfg)
+            term = goal | trunc
+            cont = jnp.where(term, 0.0, gamma_f)
+            abase = g * GCOLS_I
+            new_pend = (cp // GP_I, abase + aa, abase + ab,
+                        r.astype(jnp.float32), cont, v_a, v_b,
+                        jnp.ones(blk_shape, jnp.float32))
+            return (nra, nca, nrb, ncb, npz, t2, new_pend,
+                    rew_acc + jnp.sum(r),
+                    goal_acc + jnp.sum(goal.astype(jnp.int32)),
+                    trunc_acc + jnp.sum(trunc.astype(jnp.int32)))
+
+        init = (ra_ref[sl, :], ca_ref[sl, :], rb_ref[sl, :], cb_ref[sl, :],
+                p_ref[sl, :], t_ref[sl, :],
+                (zi, zi, zi, zf, zf, zf, zf, zf), *carry0)
+        (ra, ca, rb, cb, p, t, pend,
+         rew_acc, goal_acc, trunc_acc) = jax.lax.fori_loop(
+            0, n_steps, step, init)
+
+        cp = rules.cellpair_encode(jnp, ra, ca, rb, cb, p, cfg)
+        cpm = cp // GP_I
+        g = cp % GP_I
+        pre = gather_rows(cpm, bounds(cpm))
+        _, v_a = greedy_and_max(collapse_qs(pre, g, COL_QA, COL_QA_LO))
+        _, v_b = greedy_and_max(collapse_qs(pre, g, COL_QB, COL_QB_LO))
+        retire(v_a, v_b, pend)
+
+        ra_ref[sl, :], ca_ref[sl, :] = ra, ca
+        rb_ref[sl, :], cb_ref[sl, :] = rb, cb
+        p_ref[sl, :], t_ref[sl, :] = p, t
+        return (rew_acc, goal_acc, trunc_acc)
+
+    z = jnp.int32(0)
+    rew, goals, truncs = jax.lax.fori_loop(0, n_blocks, block, (z, z, z))
+    ora[:], oca[:] = ra_ref[:], ca_ref[:]
+    orb[:], ocb[:] = rb_ref[:], cb_ref[:]
+    op[:], ot[:] = p_ref[:], t_ref[:]
+    stats_ref[0, 0] = rew
+    stats_ref[0, 1] = goals
+    stats_ref[0, 2] = truncs
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "batch", "n_steps",
+                                             "gamma", "interpret"))
+def iql_packed_chunk(cfg: EnvConfig, seed, eps_int, m_packed, state_fields,
+                     batch: int, n_steps: int, gamma: float = 0.99,
+                     step_offset=0, interpret: bool = False):
+    """Packed-layout fused IQL chunk.  ``m_packed`` [_spm_i(cfg), 128]
+    bfloat16 from `pack_iql_m2`; returns (new_fields, acc [_spm_i, 128]
+    f32, stats[3]) — decode with `unpack_iql_acc2` (residual sums +
+    counts; complete TDs with cnt * (maxq - q))."""
+    assert n_steps > 0
+    assert batch % LANES == 0, f"batch must be a multiple of {LANES}"
+    shape = (batch // LANES, LANES)
+    SP = _spm_i(cfg)
+    # rb capped at 16: the dual-player retire materializes FOUR
+    # [rb, 128, 128] f32 one-hots (td+cnt per player) where the minimax
+    # kernel builds two — rb=32 overflows the 16 MB scoped-VMEM stack.
+    rb = next(r for r in range(min(16, shape[0]), 0, -1)
+              if shape[0] % r == 0)
+    vmem_mb = SP * LANES * (2 + 4) / 2**20
+    if vmem_mb > 14:
+        raise ValueError(
+            f"grid too large for the fused learner kernel: packed tables "
+            f"need ~{vmem_mb:.0f} MB of VMEM ({SP} rows); "
+            f"use agents.learners.iql_train (HBM tables) instead")
+    q_int = int(round(cfg.slip_prob * 65536))
+    kernel = functools.partial(
+        _iql_packed_kernel, cfg=cfg, n_steps=n_steps, q_int=q_int,
+        gamma=gamma, rb=rb)
+    out_shapes = ([jax.ShapeDtypeStruct(shape, jnp.int32)] * 6 +
+                  [jax.ShapeDtypeStruct((SP, LANES), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 4), jnp.int32)])
+    smem_in = jnp.stack([jnp.asarray(seed, jnp.int32),
+                         jnp.asarray(eps_int, jnp.int32),
+                         jnp.asarray(step_offset, jnp.int32)])
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=tuple(out_shapes),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)] +
+                 [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 7 +
+                        [pl.BlockSpec(memory_space=pltpu.SMEM)]),
+        input_output_aliases={2 + i: i for i in range(6)},
+        interpret=interpret,
+    )(smem_in, m_packed, *state_fields)
+    *fields, acc, stats = outs
+    return tuple(fields), acc, (stats[0, 0], stats[0, 1], stats[0, 2])
+
+
+def pack_iql_m2(cfg: EnvConfig, q_a, q_b) -> jnp.ndarray:
+    """Pack both players' Q tables [nS, 5] into the PACKED M
+    [_spm_i(cfg), 128] bfloat16 (GP_I states per row, double-bf16
+    hi/lo)."""
+    SP = _spm_i(cfg)
+    codes = jnp.asarray(_cell_rows(cfg))
+    idx = (codes // GP_I) * LANES + (codes % GP_I) * GCOLS_I
+    flat = jnp.zeros(SP * LANES, jnp.float32)
+    for q, c_hi, c_lo in ((q_a, COL_QA, COL_QA_LO),
+                          (q_b, COL_QB, COL_QB_LO)):
+        q = jnp.asarray(q, jnp.float32)
+        hi = q.astype(jnp.bfloat16).astype(jnp.float32)
+        for k in range(N_ACTIONS):
+            flat = flat.at[idx + c_hi + k].set(hi[:, k])
+            flat = flat.at[idx + c_lo + k].set(q[:, k] - hi[:, k])
+    return flat.reshape(SP, LANES).astype(jnp.bfloat16)
+
+
+def unpack_iql_acc2(cfg: EnvConfig, acc):
+    """acc -> (sum_res_a, cnt_a, sum_res_b, cnt_b), each [nS, 5].  The
+    per-visit TD is residual + (maxq - q[s, a]) with maxq/q frozen
+    in-chunk, so sum_td = sum_res + cnt * (maxq[:, None] - q)."""
+    codes = jnp.asarray(_cell_rows(cfg))
+    idx = (codes // GP_I) * LANES + (codes % GP_I) * GCOLS_I
+    flat = acc.reshape(-1)
+    cols = jnp.arange(N_ACTIONS)[None, :]
+    return (flat[idx[:, None] + IACC_TD_A + cols],
+            flat[idx[:, None] + IACC_CNT_A + cols],
+            flat[idx[:, None] + IACC_TD_B + cols],
+            flat[idx[:, None] + IACC_CNT_B + cols])
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "batch", "n_steps",
                                              "gamma", "interpret"))
 def iql_chunk(cfg: EnvConfig, seed, eps_int, m_packed, state_fields,
@@ -273,9 +522,15 @@ def fused_iql_train(cfg: EnvConfig, batch: int, n_chunks: int,
                     lr_anneal_pow: float = 1.0, seed: int = 0,
                     interpret: bool = False, init=None, mesh=None,
                     start_chunk: int = 0, fields_init=None,
-                    return_state: bool = False):
+                    return_state: bool = False,
+                    packed: bool | None = None):
     """Chunked fused independent-Q self-play.  Returns (q_a, q_b,
     stats_history).  ``init`` optionally warm-starts (q_a, q_b).
+
+    ``packed`` selects the packed kernel layout (default None = True;
+    6x fewer gather/scatter matmul rows, Bellman-residual accumulation
+    — see the PACKED layout comment); packed=False keeps the legacy
+    layout.  Both step bit-identical trajectories for equal Q contents.
 
     ``mesh`` (a jax.sharding.Mesh with an 'env' axis) DP-shards the lane
     batch: per-device fused chunks with psum'd accumulators
@@ -291,6 +546,8 @@ def fused_iql_train(cfg: EnvConfig, batch: int, n_chunks: int,
     uninterrupted run."""
     from ..core import tables
     nS = tables.build_statespace(cfg).nS
+    if packed is None:
+        packed = True
     if init is None:
         q_a = jnp.zeros((nS, N_ACTIONS), jnp.float32)
         q_b = jnp.zeros((nS, N_ACTIONS), jnp.float32)
@@ -305,24 +562,34 @@ def fused_iql_train(cfg: EnvConfig, batch: int, n_chunks: int,
         from jax.sharding import NamedSharding, PartitionSpec
         from ..parallel.mesh import sharded_iql_chunk_fn
         sharded = sharded_iql_chunk_fn(cfg, mesh, batch, chunk_len,
-                                       gamma=gamma, interpret=interpret)
+                                       gamma=gamma, interpret=interpret,
+                                       packed=packed)
         sh = NamedSharding(mesh, PartitionSpec("env", None))
         fields = tuple(jax.device_put(f, sh) for f in fields)
 
         def chunk(seed_k, eps_int, m, fields, step_offset):
             return sharded(seed_k, eps_int, m, fields, step_offset)
     else:
+        chunk_f = iql_packed_chunk if packed else iql_chunk
+
         def chunk(seed_k, eps_int, m, fields, step_offset):
-            return iql_chunk(cfg, seed_k, eps_int, m, fields, batch,
-                             chunk_len, gamma=gamma,
-                             step_offset=step_offset, interpret=interpret)
+            return chunk_f(cfg, seed_k, eps_int, m, fields, batch,
+                           chunk_len, gamma=gamma,
+                           step_offset=step_offset, interpret=interpret)
+
+    pack_f = pack_iql_m2 if packed else pack_iql_m
 
     @jax.jit
     def between(q_a, q_b, acc, lr_now):
-        sum_a, cnt_a, sum_b, cnt_b = unpack_iql_acc(cfg, acc)
+        if packed:
+            res_a, cnt_a, res_b, cnt_b = unpack_iql_acc2(cfg, acc)
+            sum_a = res_a + cnt_a * (q_a.max(-1)[:, None] - q_a)
+            sum_b = res_b + cnt_b * (q_b.max(-1)[:, None] - q_b)
+        else:
+            sum_a, cnt_a, sum_b, cnt_b = unpack_iql_acc(cfg, acc)
         q_a = q_a + lr_now * sum_a / jnp.maximum(cnt_a, 1.0)
         q_b = q_b + lr_now * sum_b / jnp.maximum(cnt_b, 1.0)
-        return q_a, q_b, pack_iql_m(cfg, q_a, q_b)
+        return q_a, q_b, pack_f(cfg, q_a, q_b)
 
     def lr_at(k):
         d = lr
@@ -336,7 +603,7 @@ def fused_iql_train(cfg: EnvConfig, batch: int, n_chunks: int,
                    if eps_halflife else 1.0)
         return max(d, eps_min)
 
-    m = pack_iql_m(cfg, q_a, q_b)
+    m = pack_f(cfg, q_a, q_b)
     history = []
     end_chunk = start_chunk + n_chunks
     for k in range(start_chunk, end_chunk):

@@ -238,7 +238,8 @@ def sharded_learner_chunk_fn(cfg, mesh: Mesh, batch: int, n_steps: int,
 
 def sharded_altq_chunk_fn(cfg: EnvConfig, mesh: Mesh, batch: int,
                           n_steps: int, gamma: float = 0.99,
-                          interpret: bool = False, axis: str = "env"):
+                          interpret: bool = False, axis: str = "env",
+                          packed: bool = False):
     """Data-parallel fused ALTERNATING-turn learner chunks
     (ops/altq_kernel) — same layout as sharded_learner_chunk_fn."""
     from ..ops import altq_kernel as ak
@@ -247,12 +248,13 @@ def sharded_altq_chunk_fn(cfg: EnvConfig, mesh: Mesh, batch: int,
         f"batch must be a multiple of {n_dev * 128} on this mesh"
     bpd = batch // n_dev
     fspec = P(axis, None)
+    chunk_f = ak.altq_packed_chunk if packed else ak.altq_chunk
 
     def local(seed, eps_int, m, fields, step_offset):
         ax = jax.lax.axis_index(axis).astype(jnp.int32)
         sseed = (jnp.asarray(seed, jnp.int32)
                  ^ (ax * jnp.int32(0x61C88647)))
-        fields, acc, stats = ak.altq_chunk(
+        fields, acc, stats = chunk_f(
             cfg, sseed, eps_int, m, fields, bpd, n_steps, gamma=gamma,
             step_offset=step_offset, interpret=interpret)
         acc = jax.lax.psum(acc, axis)
@@ -269,7 +271,8 @@ def sharded_altq_chunk_fn(cfg: EnvConfig, mesh: Mesh, batch: int,
 
 def sharded_iql_chunk_fn(cfg: EnvConfig, mesh: Mesh, batch: int,
                          n_steps: int, gamma: float = 0.99,
-                         interpret: bool = False, axis: str = "env"):
+                         interpret: bool = False, axis: str = "env",
+                         packed: bool = False):
     """Data-parallel fused INDEPENDENT-Q learner chunks (ops/iql_kernel)
     — same layout as sharded_learner_chunk_fn (6 state planes, dual-table
     accumulator psum'd)."""
@@ -279,12 +282,13 @@ def sharded_iql_chunk_fn(cfg: EnvConfig, mesh: Mesh, batch: int,
         f"batch must be a multiple of {n_dev * 128} on this mesh"
     bpd = batch // n_dev
     fspec = P(axis, None)
+    chunk_f = ik.iql_packed_chunk if packed else ik.iql_chunk
 
     def local(seed, eps_int, m, fields, step_offset):
         ax = jax.lax.axis_index(axis).astype(jnp.int32)
         sseed = (jnp.asarray(seed, jnp.int32)
                  ^ (ax * jnp.int32(0x61C88647)))
-        fields, acc, stats = ik.iql_chunk(
+        fields, acc, stats = chunk_f(
             cfg, sseed, eps_int, m, fields, bpd, n_steps, gamma=gamma,
             step_offset=step_offset, interpret=interpret)
         acc = jax.lax.psum(acc, axis)

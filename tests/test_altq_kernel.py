@@ -43,6 +43,51 @@ def test_alt_pack_unpack_roundtrip():
     assert np.asarray(cnt).sum() == 0
 
 
+def test_altq_packed_chunk_matches_unpacked():
+    """The PACKED alternating kernel (6 cellpairs per M/acc row,
+    residual accumulation) must step bit-identical trajectories to the
+    unpacked kernel for equal Q contents, with identical visit counts;
+    with q == 0 the residual IS the td, bit for bit."""
+    B, T = 1024, 16
+    nS = _nS()
+    rng = np.random.RandomState(4)
+    q = jnp.asarray(rng.uniform(-1, 1, (nS, 5)).astype(np.float32))
+    fields = ak.init_alt_state_fields(CFG, B)
+    eps = int(0.3 * 65536)
+    f1, acc1, st1 = ak.altq_chunk(CFG, 11, eps, ak.pack_alt_m(CFG, q),
+                                  fields, B, T, interpret=True)
+    f2, acc2, st2 = ak.altq_packed_chunk(
+        CFG, 11, eps, ak.pack_alt_m2(CFG, q), fields, B, T, interpret=True)
+    for a, b in zip(f1, f2):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), \
+            "packed and unpacked altq kernels diverged in trajectory"
+    assert all(int(np.asarray(x)) == int(np.asarray(y))
+               for x, y in zip(st1, st2))
+    _, cnt1 = ak.unpack_alt_acc(CFG, acc1)
+    _, cnt2 = ak.unpack_alt_acc2(CFG, acc2)
+    assert np.array_equal(np.asarray(cnt1), np.asarray(cnt2))
+    assert int(np.asarray(cnt2).sum()) == B * T
+
+    z = jnp.zeros((nS, 5), jnp.float32)
+    _, acc1z, _ = ak.altq_chunk(CFG, 11, eps, ak.pack_alt_m(CFG, z),
+                                fields, B, T, interpret=True)
+    _, acc2z, _ = ak.altq_packed_chunk(CFG, 11, eps, ak.pack_alt_m2(CFG, z),
+                                       fields, B, T, interpret=True)
+    td1, c1 = (np.asarray(x) for x in ak.unpack_alt_acc(CFG, acc1z))
+    res2, c2 = (np.asarray(x) for x in ak.unpack_alt_acc2(CFG, acc2z))
+    np.testing.assert_allclose(td1, res2, rtol=0, atol=0)
+    assert np.array_equal(c1, c2)
+
+
+def test_fused_altq_training_learns_packed():
+    """fused_altq_train's default (packed) path trains."""
+    q, hist = ak.fused_altq_train(
+        CFG, batch=1024, n_chunks=20, chunk_len=16, lr=0.5, eps=0.3,
+        interpret=True)
+    assert float(jnp.abs(q).max()) > 0.01
+    assert sum(h[1] for h in hist) > 0
+
+
 def test_alt_chunk_accumulates_visits_and_valid_tds():
     B, T = 1024, 16
     nS = _nS()

@@ -47,6 +47,56 @@ def test_iql_chunk_accumulates_both_players_exactly():
         assert (arr >= 0).all() and (arr < hi).all()
 
 
+def test_iql_packed_chunk_matches_unpacked():
+    """The PACKED IQL kernel (6 states per M/acc row, residual
+    accumulation) must step bit-identical trajectories to the unpacked
+    kernel for equal Q contents with identical visit counts; with q == 0
+    the residual IS the td, bit for bit."""
+    B, T = 1024, 16
+    rng = np.random.RandomState(2)
+    q_a = jnp.asarray(rng.uniform(-1, 1, (NS, 5)).astype(np.float32))
+    q_b = jnp.asarray(rng.uniform(-1, 1, (NS, 5)).astype(np.float32))
+    fields = ik.init_iql_state_fields(CFG, B)
+    eps = int(0.3 * 65536)
+    f1, acc1, st1 = ik.iql_chunk(CFG, 9, eps, ik.pack_iql_m(CFG, q_a, q_b),
+                                 fields, B, T, interpret=True)
+    f2, acc2, st2 = ik.iql_packed_chunk(
+        CFG, 9, eps, ik.pack_iql_m2(CFG, q_a, q_b), fields, B, T,
+        interpret=True)
+    for a, b in zip(f1, f2):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), \
+            "packed and unpacked IQL kernels diverged in trajectory"
+    assert all(int(np.asarray(x)) == int(np.asarray(y))
+               for x, y in zip(st1, st2))
+    _, ca1, _, cb1 = (np.asarray(x) for x in ik.unpack_iql_acc(CFG, acc1))
+    ra2, ca2, rb2, cb2 = (np.asarray(x)
+                          for x in ik.unpack_iql_acc2(CFG, acc2))
+    assert np.array_equal(ca1, ca2) and np.array_equal(cb1, cb2)
+    assert int(ca2.sum()) == B * T
+
+    # q == 0: residual == td, bit for bit
+    z = jnp.zeros((NS, 5), jnp.float32)
+    _, acc1z, _ = ik.iql_chunk(CFG, 9, eps, ik.pack_iql_m(CFG, z, z),
+                               fields, B, T, interpret=True)
+    _, acc2z, _ = ik.iql_packed_chunk(CFG, 9, eps, ik.pack_iql_m2(CFG, z, z),
+                                      fields, B, T, interpret=True)
+    a1 = [np.asarray(x) for x in ik.unpack_iql_acc(CFG, acc1z)]
+    a2 = [np.asarray(x) for x in ik.unpack_iql_acc2(CFG, acc2z)]
+    for x, y in zip(a1, a2):
+        np.testing.assert_allclose(x, y, rtol=0, atol=0)
+
+
+def test_fused_iql_training_learns_packed():
+    """fused_iql_train's default (packed) path trains: both tables move,
+    dual accounting stays exact."""
+    q_a, q_b, hist = ik.fused_iql_train(
+        CFG, batch=1024, n_chunks=20, chunk_len=16, lr=0.5, eps=0.3,
+        interpret=True)
+    assert float(jnp.abs(q_a).max()) > 0.01
+    assert float(jnp.abs(q_b).max()) > 0.01
+    assert sum(h[1] for h in hist) > 0
+
+
 def test_iql_eps_zero_is_greedy():
     """eps=0 with all-zero Q: both players NOOP forever -> no goals, and
     only the NOOP columns are visited."""

@@ -264,6 +264,24 @@ def test_multigrid_packed_chunk_matches_unpacked():
                                rtol=0, atol=0)
 
 
+def test_chunks_per_dispatch_matches_single_dispatch():
+    """The segmented scan mode (g chunks per dispatch, one compile) must
+    reproduce single_dispatch bit-for-bit — same in-graph f32 schedule
+    arithmetic, same chunk sequence, including a remainder segment."""
+    kw = dict(batch=512, n_chunks=7, chunk_len=4, lr=0.7, eps=0.4,
+              eps_halflife=64, lr_anneal_start=3, lr_anneal_tau=5.0,
+              solver_iters=40, seed=11, interpret=True)
+    q1, v1, pa1, pb1, h1 = lk.fused_minimax_train(
+        CFG, single_dispatch=True, **kw)
+    q2, v2, pa2, pb2, h2 = lk.fused_minimax_train(
+        CFG, chunks_per_dispatch=3, **kw)
+    assert np.array_equal(np.asarray(q1), np.asarray(q2))
+    assert np.array_equal(np.asarray(v1), np.asarray(v2))
+    assert np.array_equal(np.asarray(pa1), np.asarray(pa2))
+    assert np.array_equal(np.asarray(pb1), np.asarray(pb2))
+    assert h1 == h2
+
+
 def test_fused_best_response_matches_exact_br():
     """Fused frozen-opponent training (the reference's single-agent mode,
     soccer_simultaneous_env.py:187-188, main() :507-520) must converge to

@@ -275,20 +275,31 @@ def bench_pallas_br_learner(quick):
 
 def bench_pallas_iql_learner(quick):
     """Fused independent-Q learner (both players' act/step/TD on-chip)."""
+    return _bench_iql(quick, packed=False)
+
+
+def bench_pallas_iql_learner_packed(quick):
+    """Packed-layout fused IQL (6 states per M/acc row)."""
+    return _bench_iql(quick, packed=True, B=32768)
+
+
+def _bench_iql(quick, packed, B=8192):
     from gym_soccer_tpu.core import tables
     from gym_soccer_tpu.ops import iql_kernel as ik
-    B, T = 8192, 64
+    T = 64
     K = 4 if quick else 16
     nS = tables.build_statespace(CFG).nS
-    m = ik.pack_iql_m(CFG, jnp.zeros((nS, 5)), jnp.zeros((nS, 5)))
+    z = jnp.zeros((nS, 5))
+    m = (ik.pack_iql_m2 if packed else ik.pack_iql_m)(CFG, z, z)
+    chunk = ik.iql_packed_chunk if packed else ik.iql_chunk
     fields0 = ik.init_iql_state_fields(CFG, B)
     eps = int(0.3 * 65536)
 
     def run():
         fields = fields0
         for k in range(K):
-            fields, acc, stats = ik.iql_chunk(CFG, k, eps, m, fields, B, T,
-                                              step_offset=k * T)
+            fields, acc, stats = chunk(CFG, k, eps, m, fields, B, T,
+                                       step_offset=k * T)
         fetch(acc.sum())
 
     dt = timed(run)
@@ -328,20 +339,31 @@ def bench_pallas_multigrid_packed(quick):
 
 def bench_pallas_altq_learner(quick):
     """Fused pallas alternating-turn Q-learner (ops/altq_kernel)."""
+    return _bench_altq(quick, packed=False)
+
+
+def bench_pallas_altq_learner_packed(quick):
+    """Packed-layout fused alternating-turn Q-learner."""
+    return _bench_altq(quick, packed=True, B=32768)
+
+
+def _bench_altq(quick, packed, B=8192):
     from gym_soccer_tpu.ops import altq_kernel as ak
     from gym_soccer_tpu.envs.soccer_alternating_env import build_alt_tables
-    B, T = 8192, 64
+    T = 64
     K = 4 if quick else 16
     nS = build_alt_tables(CFG).nS
-    m = ak.pack_alt_m(CFG, jnp.zeros((nS, 5)))
+    m = (ak.pack_alt_m2 if packed else ak.pack_alt_m)(CFG,
+                                                      jnp.zeros((nS, 5)))
+    chunk = ak.altq_packed_chunk if packed else ak.altq_chunk
     fields0 = ak.init_alt_state_fields(CFG, B)
     eps = int(0.3 * 65536)
 
     def run():
         fields = fields0
         for k in range(K):
-            fields, acc, stats = ak.altq_chunk(CFG, k, eps, m, fields, B, T,
-                                               step_offset=k * T)
+            fields, acc, stats = chunk(CFG, k, eps, m, fields, B, T,
+                                       step_offset=k * T)
         fetch(acc.sum())
 
     dt = timed(run)
@@ -482,9 +504,11 @@ def main():
         ("pallas_learner_11x7_packed", bench_pallas_learner_11x7),
         ("pallas_br_learner", bench_pallas_br_learner),
         ("pallas_iql_learner", bench_pallas_iql_learner),
+        ("pallas_iql_learner_packed", bench_pallas_iql_learner_packed),
         ("pallas_multigrid_learner", bench_pallas_multigrid_learner),
         ("pallas_multigrid_learner_packed", bench_pallas_multigrid_packed),
         ("pallas_altq_learner", bench_pallas_altq_learner),
+        ("pallas_altq_learner_packed", bench_pallas_altq_learner_packed),
         ("parity_bit_exact", bench_parity),
         ("parity_kernel_fused", bench_parity_kernel),
         ("pallas_fused", bench_pallas),
