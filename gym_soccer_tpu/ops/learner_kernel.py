@@ -1243,7 +1243,10 @@ def fused_best_response_train(cfg: EnvConfig, opp_policy, side: str,
                               lr_anneal_pow: float = 1.0,
                               seed: int = 0, interpret: bool = False,
                               mesh=None, init: tuple | None = None,
-                              packed: bool | None = None):
+                              packed: bool | None = None,
+                              start_chunk: int = 0,
+                              fields_init: tuple | None = None,
+                              return_state: bool = False):
     """Fused SINGLE-AGENT training: best response against a FROZEN
     opponent at full kernel speed — the training shape of the reference's
     single-agent mode, where the opponent's policy is substituted at
@@ -1270,7 +1273,18 @@ def fused_best_response_train(cfg: EnvConfig, opp_policy, side: str,
     learner's achieved value is v for A and -v for B; the learner's
     returned policy is its greedy one-hot, the opponent's its frozen
     one-hot.  ``init``: optional (q, n) warm start.  ``mesh`` shards the
-    lane batch over devices exactly as in `fused_minimax_train`."""
+    lane batch over devices exactly as in `fused_minimax_train`.
+
+    ``start_chunk``/``fields_init``/``return_state`` give EXACT
+    checkpoint/resume like the other fused trainers: with
+    ``return_state=True`` a sixth element ``resume`` is returned — a
+    dict of (q, n, fields, next_chunk) — and a follow-up call with
+    ``init=(resume['q'], resume['n'])``,
+    ``fields_init=resume['fields']``,
+    ``start_chunk=resume['next_chunk']`` continues BIT-IDENTICALLY to an
+    uninterrupted run (chunk seeds and schedules key off the absolute
+    chunk index; the greedy pi/v and the packed M are pure functions of
+    q, so only (q, n, fields) need saving)."""
     from ..core import tables
     assert side in ("player_a", "player_b")
     nS = tables.build_statespace(cfg).nS
@@ -1288,6 +1302,8 @@ def fused_best_response_train(cfg: EnvConfig, opp_policy, side: str,
         if len(init) > 1:
             n = jnp.asarray(init[1], jnp.float32)
     fields = init_state_fields(cfg, batch)
+    if fields_init is not None:
+        fields = tuple(jnp.asarray(f) for f in fields_init)
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
@@ -1349,18 +1365,34 @@ def fused_best_response_train(cfg: EnvConfig, opp_policy, side: str,
                      / lr_anneal_tau) ** (-lr_anneal_pow)
         return d
 
-    uni = jnp.full((nS, 5), 0.2, jnp.float32)
-    pa0, pb0 = (uni, opp_oh) if learn_a else (opp_oh, uni)
-    ea0, eb0 = (eps, 0.0) if learn_a else (0.0, eps)
-    m = jax.jit(repack)(pa0, pb0, q, jnp.zeros(nS, jnp.float32), ea0, eb0)
-    v = jnp.zeros(nS, jnp.float32)
-    pi_a, pi_b = pa0, pb0
+    end_chunk = start_chunk + n_chunks
+    if start_chunk == 0:
+        uni = jnp.full((nS, 5), 0.2, jnp.float32)
+        pa0, pb0 = (uni, opp_oh) if learn_a else (opp_oh, uni)
+        ea0, eb0 = (eps, 0.0) if learn_a else (0.0, eps)
+        v = jnp.zeros(nS, jnp.float32)
+        m = jax.jit(repack)(pa0, pb0, q, v, ea0, eb0)
+        pi_a, pi_b = pa0, pb0
+    else:
+        # Reconstruct exactly what the continuous run's `between` packed
+        # after chunk start_chunk-1: greedy pi/v are pure functions of
+        # the restored q, and that chunk saw eps_at(start_chunk-1) —
+        # re-running `between` with a zero accumulator and lr 0 performs
+        # precisely that recomputation (bit-identical jitted ops).
+        zacc = jnp.zeros((sacc(cfg) if packed else spc(cfg), LANES),
+                        jnp.float32)
+        q, n, v, pi_a, pi_b, m = between(
+            q, n, jnp.zeros(nS, jnp.float32), zacc, jnp.float32(0.0),
+            jnp.float32(eps_at(start_chunk - 1)))
     history = []
-    for k in range(n_chunks):
+    for k in range(start_chunk, end_chunk):
         fields, acc, stats = chunk(seed * 1_000_003 + k, m, fields)
         q, n, v, pi_a, pi_b, m = between(
             q, n, v, acc, jnp.float32(lr_at(k)), jnp.float32(eps_at(k)))
-        if k % 16 == 0 or k == n_chunks - 1:
+        if k % 16 == 0 or k == end_chunk - 1:
             history.append(stats)
     history = [tuple(int(np.asarray(x)) for x in row) for row in history]
+    if return_state:
+        return q, v, pi_a, pi_b, history, {
+            "q": q, "n": n, "fields": fields, "next_chunk": end_chunk}
     return q, v, pi_a, pi_b, history

@@ -334,6 +334,42 @@ def test_fused_best_response_side_b():
     assert err.mean() < 0.08, f"mean |v + V_br_b| = {err.mean():.3f}"
 
 
+def test_fused_best_response_exact_resume():
+    """BR trainer checkpoint/resume: 3+3 chunks across a save/load
+    roundtrip must be BIT-IDENTICAL to 6 uninterrupted chunks (greedy
+    pi/v and M reconstruct from q alone; schedules and seeds key off the
+    absolute chunk index)."""
+    import os
+    import tempfile
+    from gym_soccer_tpu.utils import checkpoint as ckpt
+    from gym_soccer_tpu.utils.policies import get_random_policy_array
+    opp = get_random_policy_array(761, 5, seed=3)
+    kw = dict(batch=512, chunk_len=4, lr=0.8, eps=0.4, eps_halflife=64,
+              eps_min=0.1, lr_anneal_start=2, lr_anneal_tau=4.0,
+              gamma=0.9, seed=13, interpret=True)
+    qc, vc, pac, pbc, _, res_c = lk.fused_best_response_train(
+        CFG, opp, "player_a", n_chunks=6, return_state=True, **kw)
+
+    _, _, _, _, _, r1 = lk.fused_best_response_train(
+        CFG, opp, "player_a", n_chunks=3, return_state=True, **kw)
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "br.npz")
+        ckpt.save_pytree(p, r1)
+        r1 = ckpt.load_pytree(p, r1)
+    q, v, pa, pb, _, res = lk.fused_best_response_train(
+        CFG, opp, "player_a", n_chunks=3, return_state=True,
+        init=(r1["q"], r1["n"]), fields_init=r1["fields"],
+        start_chunk=int(r1["next_chunk"]), **kw)
+
+    assert int(res["next_chunk"]) == int(res_c["next_chunk"]) == 6
+    assert np.array_equal(np.asarray(q), np.asarray(qc))
+    assert np.array_equal(np.asarray(v), np.asarray(vc))
+    assert np.array_equal(np.asarray(pa), np.asarray(pac))
+    assert np.array_equal(np.asarray(pb), np.asarray(pbc))
+    for a, b in zip(res["fields"], res_c["fields"]):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
 @pytest.mark.slow
 @pytest.mark.skipif(
     jax.default_backend() in ("cpu",),
