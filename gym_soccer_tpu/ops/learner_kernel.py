@@ -1246,7 +1246,8 @@ def fused_best_response_train(cfg: EnvConfig, opp_policy, side: str,
                               packed: bool | None = None,
                               start_chunk: int = 0,
                               fields_init: tuple | None = None,
-                              return_state: bool = False):
+                              return_state: bool = False,
+                              chunks_per_dispatch: int = 1):
     """Fused SINGLE-AGENT training: best response against a FROZEN
     opponent at full kernel speed — the training shape of the reference's
     single-agent mode, where the opponent's policy is substituted at
@@ -1356,13 +1357,15 @@ def fused_best_response_train(cfg: EnvConfig, opp_policy, side: str,
     def eps_at(k):
         d = eps * (0.5 ** (k * chunk_len / eps_halflife)
                    if eps_halflife else 1.0)
-        return max(d, eps_min)
+        return jnp.maximum(d, eps_min) if isinstance(k, jax.Array) \
+            else max(d, eps_min)
 
     def lr_at(k):
         d = lr
         if lr_anneal_tau > 0:
-            d = d * (1.0 + max(k - lr_anneal_start, 0)
-                     / lr_anneal_tau) ** (-lr_anneal_pow)
+            over = jnp.maximum(k - lr_anneal_start, 0.0) \
+                if isinstance(k, jax.Array) else max(k - lr_anneal_start, 0)
+            d = d * (1.0 + over / lr_anneal_tau) ** (-lr_anneal_pow)
         return d
 
     end_chunk = start_chunk + n_chunks
@@ -1385,13 +1388,47 @@ def fused_best_response_train(cfg: EnvConfig, opp_policy, side: str,
             q, n, jnp.zeros(nS, jnp.float32), zacc, jnp.float32(0.0),
             jnp.float32(eps_at(start_chunk - 1)))
     history = []
-    for k in range(start_chunk, end_chunk):
-        fields, acc, stats = chunk(seed * 1_000_003 + k, m, fields)
-        q, n, v, pi_a, pi_b, m = between(
-            q, n, v, acc, jnp.float32(lr_at(k)), jnp.float32(eps_at(k)))
-        if k % 16 == 0 or k == end_chunk - 1:
-            history.append(stats)
-    history = [tuple(int(np.asarray(x)) for x in row) for row in history]
+    if chunks_per_dispatch > 1:
+        # Grouped dispatches (see fused_minimax_train): one jitted scan
+        # of g (chunk + between) bodies per dispatch; schedules computed
+        # in-graph in f32 (host-f64 per-chunk schedules can differ by an
+        # ulp, so the exact-resume contract stays on the default mode).
+        g = chunks_per_dispatch
+
+        def chunk_body(carry, k):
+            fields, q, n, v, pa, pb, m = carry
+            fields, acc, stats = chunk(seed * 1_000_003 + k, m, fields)
+            kf = k.astype(jnp.float32)
+            q, n, v, pa, pb, m = between(q, n, v, acc, lr_at(kf),
+                                         eps_at(kf))
+            return (fields, q, n, v, pa, pb, m), jnp.stack(
+                [s.astype(jnp.int32) for s in stats])
+
+        @jax.jit
+        def seg_run(carry, ks):
+            return jax.lax.scan(chunk_body, carry, ks)
+
+        carry = (fields, q, n, v, pi_a, pi_b, m)
+        stats_rows = []
+        full_end = start_chunk + ((end_chunk - start_chunk) // g) * g
+        for s0 in range(start_chunk, full_end, g):
+            carry, stats = seg_run(carry, jnp.arange(s0, s0 + g))
+            stats_rows.append(stats)
+        for k in range(full_end, end_chunk):
+            carry, stats = jax.jit(chunk_body)(carry, jnp.int32(k))
+            stats_rows.append(stats[None])
+        fields, q, n, v, pi_a, pi_b, m = carry
+        history = [tuple(int(x) for x in row)
+                   for s in stats_rows for row in np.asarray(s)]
+    else:
+        for k in range(start_chunk, end_chunk):
+            fields, acc, stats = chunk(seed * 1_000_003 + k, m, fields)
+            q, n, v, pi_a, pi_b, m = between(
+                q, n, v, acc, jnp.float32(lr_at(k)), jnp.float32(eps_at(k)))
+            if k % 16 == 0 or k == end_chunk - 1:
+                history.append(stats)
+        history = [tuple(int(np.asarray(x)) for x in row)
+                   for row in history]
     if return_state:
         return q, v, pi_a, pi_b, history, {
             "q": q, "n": n, "fields": fields, "next_chunk": end_chunk}

@@ -334,6 +334,24 @@ def test_fused_best_response_side_b():
     assert err.mean() < 0.08, f"mean |v + V_br_b| = {err.mean():.3f}"
 
 
+def test_br_chunks_per_dispatch_grouping_invariant():
+    """BR's grouped-dispatch mode must be invariant to the group size
+    (both in-graph f32 schedules; includes a remainder segment)."""
+    from gym_soccer_tpu.utils.policies import get_random_policy_array
+    opp = get_random_policy_array(761, 5, seed=3)
+    kw = dict(batch=512, n_chunks=7, chunk_len=4, lr=0.8, eps=0.4,
+              eps_halflife=64, eps_min=0.1, lr_anneal_start=2,
+              lr_anneal_tau=4.0, gamma=0.9, seed=13, interpret=True)
+    q1, v1, pa1, _, h1 = lk.fused_best_response_train(
+        CFG, opp, "player_a", chunks_per_dispatch=7, **kw)
+    q2, v2, pa2, _, h2 = lk.fused_best_response_train(
+        CFG, opp, "player_a", chunks_per_dispatch=3, **kw)
+    assert np.array_equal(np.asarray(q1), np.asarray(q2))
+    assert np.array_equal(np.asarray(v1), np.asarray(v2))
+    assert np.array_equal(np.asarray(pa1), np.asarray(pa2))
+    assert h1 == h2
+
+
 def test_fused_best_response_exact_resume():
     """BR trainer checkpoint/resume: 3+3 chunks across a save/load
     roundtrip must be BIT-IDENTICAL to 6 uninterrupted chunks (greedy
