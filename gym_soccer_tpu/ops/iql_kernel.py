@@ -523,7 +523,8 @@ def fused_iql_train(cfg: EnvConfig, batch: int, n_chunks: int,
                     interpret: bool = False, init=None, mesh=None,
                     start_chunk: int = 0, fields_init=None,
                     return_state: bool = False,
-                    packed: bool | None = None):
+                    packed: bool | None = None,
+                    chunks_per_dispatch: int = 1):
     """Chunked fused independent-Q self-play.  Returns (q_a, q_b,
     stats_history).  ``init`` optionally warm-starts (q_a, q_b).
 
@@ -594,26 +595,62 @@ def fused_iql_train(cfg: EnvConfig, batch: int, n_chunks: int,
     def lr_at(k):
         d = lr
         if lr_anneal_tau > 0:
-            d = d * (1.0 + max(k - lr_anneal_start, 0)
-                     / lr_anneal_tau) ** (-lr_anneal_pow)
+            over = jnp.maximum(k - lr_anneal_start, 0.0) \
+                if isinstance(k, jax.Array) else max(k - lr_anneal_start, 0)
+            d = d * (1.0 + over / lr_anneal_tau) ** (-lr_anneal_pow)
         return d
 
     def eps_at(k):
         d = eps * (0.5 ** (k * chunk_len / eps_halflife)
                    if eps_halflife else 1.0)
-        return max(d, eps_min)
+        return jnp.maximum(d, eps_min) if isinstance(k, jax.Array) \
+            else max(d, eps_min)
 
     m = pack_f(cfg, q_a, q_b)
     history = []
     end_chunk = start_chunk + n_chunks
-    for k in range(start_chunk, end_chunk):
-        fields, acc, stats = chunk(
-            seed * 1_000_003 + k, int(round(eps_at(k) * 65536)),
-            m, fields, k * chunk_len)
-        q_a, q_b, m = between(q_a, q_b, acc, jnp.float32(lr_at(k)))
-        if k % 16 == 0 or k == end_chunk - 1:
-            history.append(stats)
-    history = [tuple(int(np.asarray(x)) for x in row) for row in history]
+    if chunks_per_dispatch > 1:
+        # Grouped dispatches (see fused_minimax_train): in-graph f32
+        # schedules; eps quantizes to the kernel's u16 threshold in-graph
+        # (can differ from the host's f64 rounding by one count).
+        g = chunks_per_dispatch
+
+        def chunk_body(carry, k):
+            fields, q_a, q_b, m = carry
+            kf = k.astype(jnp.float32)
+            eps_int = jnp.round(eps_at(kf) * 65536).astype(jnp.int32)
+            fields, acc, stats = chunk(seed * 1_000_003 + k, eps_int, m,
+                                       fields, k * chunk_len)
+            q_a, q_b, m = between(q_a, q_b, acc, lr_at(kf))
+            return (fields, q_a, q_b, m), jnp.stack(
+                [st.astype(jnp.int32) for st in stats])
+
+        @jax.jit
+        def seg_run(carry, ks):
+            return jax.lax.scan(chunk_body, carry, ks)
+
+        carry = (fields, q_a, q_b, m)
+        stats_rows = []
+        full_end = start_chunk + ((end_chunk - start_chunk) // g) * g
+        for s0 in range(start_chunk, full_end, g):
+            carry, st = seg_run(carry, jnp.arange(s0, s0 + g))
+            stats_rows.append(st)
+        for k in range(full_end, end_chunk):
+            carry, st = jax.jit(chunk_body)(carry, jnp.int32(k))
+            stats_rows.append(st[None])
+        fields, q_a, q_b, m = carry
+        history = [tuple(int(x) for x in row)
+                   for st in stats_rows for row in np.asarray(st)]
+    else:
+        for k in range(start_chunk, end_chunk):
+            fields, acc, stats = chunk(
+                seed * 1_000_003 + k, int(round(eps_at(k) * 65536)),
+                m, fields, k * chunk_len)
+            q_a, q_b, m = between(q_a, q_b, acc, jnp.float32(lr_at(k)))
+            if k % 16 == 0 or k == end_chunk - 1:
+                history.append(stats)
+        history = [tuple(int(np.asarray(x)) for x in row)
+                   for row in history]
     if return_state:
         return q_a, q_b, history, {"q_a": q_a, "q_b": q_b,
                                    "fields": fields,

@@ -88,6 +88,18 @@ def test_fused_altq_training_learns_packed():
     assert sum(h[1] for h in hist) > 0
 
 
+def test_altq_chunks_per_dispatch_grouping_invariant():
+    """fused_altq_train's grouped-dispatch mode must be invariant to the
+    group size (in-graph f32 schedules; includes a remainder segment)."""
+    kw = dict(batch=512, n_chunks=7, chunk_len=4, lr=0.6, eps=0.35,
+              eps_halflife=64, eps_min=0.1, lr_anneal_start=2,
+              lr_anneal_tau=4.0, seed=5, interpret=True)
+    q1, h1 = ak.fused_altq_train(CFG, chunks_per_dispatch=7, **kw)
+    q2, h2 = ak.fused_altq_train(CFG, chunks_per_dispatch=3, **kw)
+    assert np.array_equal(np.asarray(q1), np.asarray(q2))
+    assert h1 == h2
+
+
 def test_alt_chunk_accumulates_visits_and_valid_tds():
     B, T = 1024, 16
     nS = _nS()

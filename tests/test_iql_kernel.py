@@ -97,6 +97,19 @@ def test_fused_iql_training_learns_packed():
     assert sum(h[1] for h in hist) > 0
 
 
+def test_iql_chunks_per_dispatch_grouping_invariant():
+    """fused_iql_train's grouped-dispatch mode must be invariant to the
+    group size (in-graph f32 schedules; includes a remainder segment)."""
+    kw = dict(batch=512, n_chunks=7, chunk_len=4, lr=0.6, eps=0.35,
+              eps_halflife=64, eps_min=0.1, lr_anneal_start=2,
+              lr_anneal_tau=4.0, seed=5, interpret=True)
+    qa1, qb1, h1 = ik.fused_iql_train(CFG, chunks_per_dispatch=7, **kw)
+    qa2, qb2, h2 = ik.fused_iql_train(CFG, chunks_per_dispatch=3, **kw)
+    assert np.array_equal(np.asarray(qa1), np.asarray(qa2))
+    assert np.array_equal(np.asarray(qb1), np.asarray(qb2))
+    assert h1 == h2
+
+
 def test_iql_eps_zero_is_greedy():
     """eps=0 with all-zero Q: both players NOOP forever -> no goals, and
     only the NOOP columns are visited."""
