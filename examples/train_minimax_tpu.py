@@ -71,10 +71,20 @@ def main():
                          "kernel and report per-variant exploitability")
     ap.add_argument("--converge", action="store_true",
                     help="run the verified equilibrium recipe (2.1B steps, "
-                         "~2 min on one v5e chip): lr=1.0 Bellman-backup "
+                         "~30 s on one v5e chip): lr=1.0 Bellman-backup "
                          "phase then polynomial anneal; reaches "
-                         "exploitability ~0.004 vs the exact solver's "
+                         "exploitability ~0.003 vs the exact solver's "
                          "~0.002 (BASELINE.md)")
+    ap.add_argument("--grid", type=int, nargs=2, default=(5, 4),
+                    metavar=("W", "H"),
+                    help="board size for --converge (default 5 4).  "
+                         "'--grid 11 7' runs the reference's big grid "
+                         "(nS=11705): 6.3B steps in ~2.5 min reach mean "
+                         "|v-V*| ~ 0.007 vs the exact Shapley solve, "
+                         "exploitability ~0.027 (floor 0.0014); "
+                         "evaluation runs the SEGMENTED solvers "
+                         "(unbounded device loops fault the relayed "
+                         "chip at this scale)")
     ap.add_argument("--best-response", choices=["player_a", "player_b"],
                     default="",
                     help="SINGLE-AGENT mode: train the given side as a "
@@ -146,25 +156,38 @@ def main():
 
     if args.converge:
         from gym_soccer_tpu.ops import learner_kernel as lk
-        cfg = EnvConfig(width=5, height=4, slip_prob=0.2)
-        t0 = time.perf_counter()
+        w, h = args.grid
+        cfg = EnvConfig(width=w, height=h, slip_prob=0.2)
+        big = (w, h) != (5, 4)
         # chunks_per_dispatch=8: one jitted scan of 8 (chunk + update)
         # bodies per dispatch — 29.5 s wall for the 2.1B-step recipe on
         # this relayed chip vs 124.5 s with per-chunk dispatches (the
         # loop is round-trip-bound, not compute-bound; same recipe,
-        # exploitability 0.0030 vs 0.0032)
+        # exploitability 0.0030 vs 0.0032).  Big grids get a longer
+        # anneal tail (sparser per-cell visits per chunk) and SEGMENTED
+        # exploitability evaluation.
+        if big:
+            kw = dict(n_chunks=3000, eps=0.25, eps_halflife=40000,
+                      eps_min=0.08, lr_anneal_start=1500,
+                      lr_anneal_tau=80.0, lr_anneal_pow=1.2,
+                      solver_iters=300, seed=2)
+        else:
+            kw = dict(n_chunks=1000, eps=0.2, lr_anneal_start=500,
+                      lr_anneal_tau=25.0, lr_anneal_pow=1.5,
+                      solver_iters=400, seed=1)
+        t0 = time.perf_counter()
         q, v, pa, pb, hist = lk.fused_minimax_train(
-            cfg, batch=65536, n_chunks=1000, chunk_len=32,
-            lr=1.0, eps=0.2, lr_anneal_start=500, lr_anneal_tau=25.0,
-            lr_anneal_pow=1.5, solver_iters=400, final_solver_iters=3000,
-            seed=1, interpret=args.interpret,
-            chunks_per_dispatch=1 if args.interpret else 8)
+            cfg, batch=65536, chunk_len=32, lr=1.0,
+            final_solver_iters=3000, interpret=args.interpret,
+            chunks_per_dispatch=1 if args.interpret else 8, **kw)
         dt = time.perf_counter() - t0
-        steps = 1000 * 32 * 65536
-        log_json(event="finished_converge", env_steps=steps,
-                 seconds=round(dt, 1),
+        steps = kw["n_chunks"] * 32 * 65536
+        ex = exploitability(cfg, pa, pb,
+                            segment_iters=200 if big else 0)
+        log_json(event="finished_converge", grid=f"{w}x{h}",
+                 env_steps=steps, seconds=round(dt, 1),
                  env_steps_per_s=round(steps / dt),
-                 exploitability=round(float(exploitability(cfg, pa, pb)), 5))
+                 exploitability=round(float(ex), 5))
         log_json(event="eval_episode_stats",
                  **eval_episode_stats(cfg, pa, pb))
         return

@@ -34,6 +34,27 @@ def test_equilibrium_unexploitable(equilibrium):
     assert 0 <= e < 0.05, e
 
 
+def test_segmented_solvers_match_whileloop():
+    """The bounded-dispatch (segmented) editions of shapley_iteration and
+    best_response_value must reproduce the unbounded while_loop results —
+    same backups, only the stopping check moves host-side (iteration
+    counts may overshoot by up to a segment, so compare to theta
+    tolerance).  The segmented mode exists because the unbounded device
+    programs fault the relayed chip at 11x7 scale."""
+    gamma, theta = 0.9, 1e-5
+    V1, pa1, pb1, _, _ = ev.shapley_iteration(CFG, gamma=gamma,
+                                              theta=theta, max_iters=400)
+    V2, pa2, pb2, _, _ = ev.shapley_iteration(CFG, gamma=gamma,
+                                              theta=theta, max_iters=400,
+                                              segment_sweeps=20)
+    np.testing.assert_allclose(np.asarray(V1), np.asarray(V2), atol=5e-4)
+    b1, p1 = ev.best_response_value(CFG, pa1, "player_b", gamma=gamma,
+                                    theta=theta)
+    b2, p2 = ev.best_response_value(CFG, pa1, "player_b", gamma=gamma,
+                                    theta=theta, segment_iters=50)
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), atol=5e-4)
+
+
 def test_uniform_policies_exploitable():
     e = ev.exploitability(CFG, UNIFORM, UNIFORM)
     assert e > 1.0, e
