@@ -205,7 +205,7 @@ def main():
         # the combined step count with that same anneal schedule (PRNG
         # seeds and lr/eps schedules all key off the absolute chunk
         # index).
-        start, init_tabs, fields0 = 0, None, None
+        start, init_tabs, fields0, packed0 = 0, None, None, None
         anneal_start = n_chunks // 2
         if args.ckpt and os.path.exists(args.ckpt):
             nS = tables.build_statespace(cfg).nS
@@ -215,12 +215,16 @@ def main():
                     "pi_b": jnp.zeros((nS, 5), jnp.float32),
                     "n": jnp.zeros((nS, 5, 5), jnp.float32),
                     "fields": lk.init_state_fields(cfg, args.envs),
-                    "next_chunk": 0, "lr_anneal_start": 0}
+                    "next_chunk": 0, "lr_anneal_start": 0,
+                    "packed": True}
             r = checkpoint.load_pytree(args.ckpt, tmpl)
             start = int(r["next_chunk"])
             anneal_start = int(r["lr_anneal_start"])
             init_tabs = (r["q"], r["v"], r["pi_a"], r["pi_b"], r["n"])
             fields0 = r["fields"]
+            # resume under the layout the checkpoint was stepped with —
+            # the other layout steps different trajectories
+            packed0 = bool(np.asarray(r["packed"]))
             log_json(event="resumed_fused", chunk=start,
                      env_steps=start * 64 * args.envs,
                      lr_anneal_start=anneal_start)
@@ -236,7 +240,7 @@ def main():
             lr_anneal_start=anneal_start, lr_anneal_tau=25.0,
             lr_anneal_pow=1.5, final_solver_iters=2000,
             start_chunk=start, init=init_tabs, fields_init=fields0,
-            return_state=True, interpret=args.interpret)
+            packed=packed0, return_state=True, interpret=args.interpret)
         if args.ckpt:
             res = dict(res, lr_anneal_start=anneal_start)
             checkpoint.save_pytree(args.ckpt, res)

@@ -93,8 +93,11 @@ def shapley_iteration(cfg: EnvConfig, gamma: float = 0.99,
 
         V, cc = V0, 0
         while cc < max_iters:
-            V, d = seg(V, segment_sweeps)
-            cc += segment_sweeps
+            # clamp the final segment so the total never overshoots
+            # max_iters (matches the while_loop edition's count)
+            sweeps = min(segment_sweeps, max_iters - cc)
+            V, d = seg(V, sweeps)
+            cc += sweeps
             if float(np.asarray(d)) < theta:
                 break
         Q = _joint_backup(jt, V, gamma)
@@ -156,8 +159,9 @@ def best_response_value(cfg: EnvConfig, pi_opp, side: str,
 
         V, cc = V0, 0
         while cc < max_iters:
-            V, deltas = seg(V, segment_iters)
-            cc += segment_iters
+            iters = min(segment_iters, max_iters - cc)  # no overshoot
+            V, deltas = seg(V, iters)
+            cc += iters
             if float(np.asarray(deltas[-1])) < theta:
                 break
         return V, backup(V).argmax(axis=-1)

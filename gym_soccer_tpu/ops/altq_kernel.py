@@ -588,7 +588,11 @@ def fused_altq_train(cfg: EnvConfig, batch: int, n_chunks: int,
     ``start_chunk=resume['next_chunk']`` continues bit-identically to an
     uninterrupted run (chunk PRNG seeds, the in-kernel step_offset and
     the lr/eps schedules all key off the absolute chunk index; M packs
-    from q alone, so no schedule state needs recovering)."""
+    from q alone, so no schedule state needs recovering).  The resume
+    dict records ``packed``; restore under the same layout.
+    ``stats_history`` cadence differs by dispatch mode: the per-chunk
+    loop records every 16th chunk (plus the last); grouped dispatches
+    (``chunks_per_dispatch`` > 1) record every chunk."""
     from ..envs.soccer_alternating_env import build_alt_tables
     nS = build_alt_tables(cfg).nS
     if packed is None:
@@ -670,6 +674,7 @@ def fused_altq_train(cfg: EnvConfig, batch: int, n_chunks: int,
         def seg_run(carry, ks):
             return jax.lax.scan(chunk_body, carry, ks)
 
+        rem_body = jax.jit(chunk_body)
         carry = (fields, q, m)
         stats_rows = []
         full_end = start_chunk + ((end_chunk - start_chunk) // g) * g
@@ -677,7 +682,7 @@ def fused_altq_train(cfg: EnvConfig, batch: int, n_chunks: int,
             carry, st = seg_run(carry, jnp.arange(s0, s0 + g))
             stats_rows.append(st)
         for k in range(full_end, end_chunk):
-            carry, st = jax.jit(chunk_body)(carry, jnp.int32(k))
+            carry, st = rem_body(carry, jnp.int32(k))
             stats_rows.append(st[None])
         fields, q, m = carry
         history = [tuple(int(x) for x in row)
@@ -694,5 +699,5 @@ def fused_altq_train(cfg: EnvConfig, batch: int, n_chunks: int,
                    for row in history]
     if return_state:
         return q, history, {"q": q, "fields": fields,
-                            "next_chunk": end_chunk}
+                            "next_chunk": end_chunk, "packed": packed}
     return q, history

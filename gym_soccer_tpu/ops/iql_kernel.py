@@ -544,7 +544,10 @@ def fused_iql_train(cfg: EnvConfig, batch: int, n_chunks: int,
     ``init=(resume['q_a'], resume['q_b'])``,
     ``fields_init=resume['fields']``,
     ``start_chunk=resume['next_chunk']`` continues bit-identically to an
-    uninterrupted run."""
+    uninterrupted run.  The resume dict records ``packed``; restore
+    under the same layout.  ``stats_history`` cadence differs by
+    dispatch mode: the per-chunk loop records every 16th chunk (plus
+    the last); grouped dispatches record every chunk."""
     from ..core import tables
     nS = tables.build_statespace(cfg).nS
     if packed is None:
@@ -629,6 +632,7 @@ def fused_iql_train(cfg: EnvConfig, batch: int, n_chunks: int,
         def seg_run(carry, ks):
             return jax.lax.scan(chunk_body, carry, ks)
 
+        rem_body = jax.jit(chunk_body)
         carry = (fields, q_a, q_b, m)
         stats_rows = []
         full_end = start_chunk + ((end_chunk - start_chunk) // g) * g
@@ -636,7 +640,7 @@ def fused_iql_train(cfg: EnvConfig, batch: int, n_chunks: int,
             carry, st = seg_run(carry, jnp.arange(s0, s0 + g))
             stats_rows.append(st)
         for k in range(full_end, end_chunk):
-            carry, st = jax.jit(chunk_body)(carry, jnp.int32(k))
+            carry, st = rem_body(carry, jnp.int32(k))
             stats_rows.append(st[None])
         fields, q_a, q_b, m = carry
         history = [tuple(int(x) for x in row)
@@ -654,5 +658,6 @@ def fused_iql_train(cfg: EnvConfig, batch: int, n_chunks: int,
     if return_state:
         return q_a, q_b, history, {"q_a": q_a, "q_b": q_b,
                                    "fields": fields,
-                                   "next_chunk": end_chunk}
+                                   "next_chunk": end_chunk,
+                                   "packed": packed}
     return q_a, q_b, history

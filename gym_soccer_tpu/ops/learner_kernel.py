@@ -77,7 +77,7 @@ ACC_TD, ACC_CNT = 0, 32
 GP, GCOLS = 8, 16                      # states per M row, cols per state
 PCOL_PI_A, PCOL_PI_B, PCOL_V, PCOL_V_LO = 0, 5, 10, 11
 AP, ASTRIDE = 2, 50                    # states per acc row, col stride
-PACC_TGT, PACC_CNT = 0, 25
+PACC_RES, PACC_CNT = 0, 25
 
 
 SLAB_MAX = 1024
@@ -511,8 +511,9 @@ def _packed_body(seed_ref, m_ref, planes, ra_ref, ca_ref, rb_ref, cb_ref,
     Identical stepping, acting and pipelined-retirement structure; the
     differences are the M/acc layouts (GP states per M row, AP per acc
     row — see the PACKED layout comment at the top) and that the kernel
-    accumulates TD TARGET sums (r + gamma*v') instead of TDs: the
-    constant-within-chunk q term is subtracted host-side between chunks.
+    accumulates BELLMAN RESIDUAL sums (r + gamma*v' - v) and visit
+    counts instead of full TDs: the host completes each cell's TD sum
+    with the constant-within-chunk cnt*(v - q) term between chunks.
     Action sampling reads the same bf16 pi values and the same counter
     PRNG as the unpacked kernel, so both kernels step bit-identical
     trajectories for equal M contents."""
@@ -570,7 +571,7 @@ def _packed_body(seed_ref, m_ref, planes, ra_ref, ca_ref, rb_ref, cb_ref,
     def retire(v_here, pend):
         cpa, cbase, r, cont, v_prev, valid = pend
         delta = r + cont * v_here - v_prev   # Bellman residual (see top)
-        oh_td = (c_iota == (cbase[..., None] + PACC_TGT)).astype(jnp.float32)
+        oh_td = (c_iota == (cbase[..., None] + PACC_RES)).astype(jnp.float32)
         oh_ct = (c_iota == (cbase[..., None] + PACC_CNT)).astype(jnp.float32)
         X = ((oh_td * delta[..., None] + oh_ct)
              * valid[..., None]).astype(jnp.bfloat16)
@@ -809,9 +810,9 @@ def unpack_acc2(cfg, acc) -> tuple[jnp.ndarray, jnp.ndarray]:
     idx = (codes // AP) * LANES + (codes % AP) * ASTRIDE
     flat = acc.reshape(-1)
     cols = jnp.arange(NJ)[None, :]
-    sum_tgt = flat[idx[:, None] + PACC_TGT + cols].reshape(nS, 5, 5)
+    sum_res = flat[idx[:, None] + PACC_RES + cols].reshape(nS, 5, 5)
     cnt = flat[idx[:, None] + PACC_CNT + cols].reshape(nS, 5, 5)
-    return sum_tgt, cnt
+    return sum_res, cnt
 
 
 # ----------------------------------------------------------------------
@@ -996,9 +997,12 @@ def fused_minimax_train(cfg, batch: int, n_chunks: int,
     (the 2.1B-step recipe spends ~90% of its wall clock on round trips,
     not compute) this is the big wall-clock lever; 8-16 compiles in
     seconds.  Like single_dispatch it computes schedules in-graph in
-    f32 (can differ from the host f64 schedule by an ulp) and does not
-    support ``avg_after``; the exact-resume contract remains on the
-    default per-chunk mode.
+    f32 (can differ from the host f64 schedule by an ulp); the
+    exact-resume contract remains on the default per-chunk mode.
+    ``avg_after`` works in every dispatch mode (the scan modes carry the
+    strategy sums in-graph).  ``stats_history`` cadence differs by mode:
+    the default per-chunk loop records every 16th chunk (plus the last)
+    while the scan modes record every chunk.
 
     ``cfg`` may be a TUPLE of EnvConfigs: the run then trains ONE
     concatenated table over a mixed-geometry batch (lanes round-robin
@@ -1145,30 +1149,38 @@ def fused_minimax_train(cfg, batch: int, n_chunks: int,
                                                   eps0)
     end_chunk = start_chunk + n_chunks
 
+    zsum = jnp.zeros((nS, N_ACTIONS), jnp.float32)
+
     def chunk_body(carry, k):
-        fields, q, n, v, pa, pb, m = carry
+        # Shared by the single_dispatch and chunks_per_dispatch scans.
+        # pa_sum/pb_sum carry the avg_after strategy time-average (zeros,
+        # and statically elided below, when avg_after == 0).
+        fields, q, n, v, pa, pb, m, pa_sum, pb_sum = carry
         fields, acc, stats = chunk(seed * 1_000_003 + k, m, fields)
         kf = k.astype(jnp.float32)
         q, n, v, pa, pb, m = between(
             q, n, v, acc, lr_at(kf),
             decay(eps, eps_halflife, kf, eps_min))
-        return (fields, q, n, v, pa, pb, m), jnp.stack(
+        if avg_after:
+            w = (k >= avg_after).astype(jnp.float32)
+            pa_sum = pa_sum + w * pa
+            pb_sum = pb_sum + w * pb
+        return (fields, q, n, v, pa, pb, m, pa_sum, pb_sum), jnp.stack(
             [s.astype(jnp.int32) for s in stats])
 
+    pa_sum = pb_sum = None
     if single_dispatch:
         @jax.jit
         def whole_run(fields, q, n, v, pi_a, pi_b, m):
-            (fields, q, n, v, pa, pb, m), stats = jax.lax.scan(
-                chunk_body, (fields, q, n, v, pi_a, pi_b, m),
+            carry, stats = jax.lax.scan(
+                chunk_body, (fields, q, n, v, pi_a, pi_b, m, zsum, zsum),
                 jnp.arange(start_chunk, end_chunk))
-            return fields, q, n, v, pa, pb, stats
+            return carry + (stats,)
 
-        fields, q, n, v, pi_a, pi_b, stats = whole_run(fields, q, n, v,
-                                                       pi_a, pi_b, m0)
+        (fields, q, n, v, pi_a, pi_b, _, pa_sum, pb_sum,
+         stats) = whole_run(fields, q, n, v, pi_a, pi_b, m0)
         history = [tuple(int(x) for x in row) for row in np.asarray(stats)]
     elif chunks_per_dispatch > 1:
-        assert not avg_after, \
-            "avg_after needs the per-chunk loop (chunks_per_dispatch=1)"
         g = chunks_per_dispatch
 
         @jax.jit
@@ -1178,22 +1190,22 @@ def fused_minimax_train(cfg, batch: int, n_chunks: int,
             carry, stats = jax.lax.scan(chunk_body, carry, ks)
             return carry, stats
 
-        carry = (fields, q, n, v, pi_a, pi_b, m0)
+        rem_body = jax.jit(chunk_body)
+        carry = (fields, q, n, v, pi_a, pi_b, m0, zsum, zsum)
         stats_rows = []
         full_end = start_chunk + ((end_chunk - start_chunk) // g) * g
         for s0 in range(start_chunk, full_end, g):
             carry, stats = seg_run(carry, jnp.arange(s0, s0 + g))
             stats_rows.append(stats)  # device arrays; fetched at the end
         for k in range(full_end, end_chunk):  # remainder, per chunk
-            carry, stats = jax.jit(chunk_body)(carry, jnp.int32(k))
+            carry, stats = rem_body(carry, jnp.int32(k))
             stats_rows.append(stats[None])
-        fields, q, n, v, pi_a, pi_b, _ = carry
+        fields, q, n, v, pi_a, pi_b, _, pa_sum, pb_sum = carry
         history = [tuple(int(x) for x in row)
                    for s in stats_rows for row in np.asarray(s)]
     else:
         m = m0
         history = []
-        pa_sum = pb_sum = None
 
         @jax.jit
         def accum(s, x):
@@ -1212,20 +1224,23 @@ def fused_minimax_train(cfg, batch: int, n_chunks: int,
                 # whole async dispatch pipeline every 16 chunks (the relay
                 # makes that the dominant wall-clock cost)
                 history.append(stats)
-        raw_pis = (pi_a, pi_b)
-        if avg_after and pa_sum is not None:
-            norm = jax.jit(lambda s: s / s.sum(-1, keepdims=True))
-            pi_a, pi_b = norm(pa_sum), norm(pb_sum)
         history = [tuple(int(np.asarray(x)) for x in row) for row in history]
-    if single_dispatch or chunks_per_dispatch > 1:
-        raw_pis = (pi_a, pi_b)
+    raw_pis = (pi_a, pi_b)
     # Resume state captures `between`'s raw loop outputs BEFORE the
     # avg_after / final_solver_iters post-processing below can replace
     # pi/v — a continuation must see exactly what the next chunk of an
-    # uninterrupted run would have seen.
+    # uninterrupted run would have seen.  ``packed`` records the kernel
+    # layout the trajectories were stepped under: resuming under the
+    # OTHER layout diverges (statistically, not bit-exactly), so restore
+    # with packed=bool(resume['packed']).
     resume = {"q": q, "v": v, "pi_a": raw_pis[0], "pi_b": raw_pis[1],
-              "n": n, "fields": fields, "next_chunk": end_chunk}
-    if final_solver_iters and not (avg_after and not single_dispatch):
+              "n": n, "fields": fields, "next_chunk": end_chunk,
+              "packed": packed}
+    averaged = avg_after and end_chunk - 1 >= avg_after
+    if averaged:
+        norm = jax.jit(lambda s: s / s.sum(-1, keepdims=True))
+        pi_a, pi_b = norm(pa_sum), norm(pb_sum)
+    if final_solver_iters and not averaged:
         v, pi_a, pi_b = jax.jit(
             lambda q: solve_matrix_games(q, iters=final_solver_iters))(q)
     if return_state:
@@ -1285,7 +1300,12 @@ def fused_best_response_train(cfg: EnvConfig, opp_policy, side: str,
     ``start_chunk=resume['next_chunk']`` continues BIT-IDENTICALLY to an
     uninterrupted run (chunk seeds and schedules key off the absolute
     chunk index; the greedy pi/v and the packed M are pure functions of
-    q, so only (q, n, fields) need saving)."""
+    q, so only (q, n, fields) need saving).  The resume dict also
+    records ``packed`` — restore with the same layout, or the
+    continuation steps different trajectories.  ``stats_history``
+    cadence differs by dispatch mode: the per-chunk loop records every
+    16th chunk (plus the last); grouped dispatches record every
+    chunk."""
     from ..core import tables
     assert side in ("player_a", "player_b")
     nS = tables.build_statespace(cfg).nS
@@ -1408,6 +1428,7 @@ def fused_best_response_train(cfg: EnvConfig, opp_policy, side: str,
         def seg_run(carry, ks):
             return jax.lax.scan(chunk_body, carry, ks)
 
+        rem_body = jax.jit(chunk_body)
         carry = (fields, q, n, v, pi_a, pi_b, m)
         stats_rows = []
         full_end = start_chunk + ((end_chunk - start_chunk) // g) * g
@@ -1415,7 +1436,7 @@ def fused_best_response_train(cfg: EnvConfig, opp_policy, side: str,
             carry, stats = seg_run(carry, jnp.arange(s0, s0 + g))
             stats_rows.append(stats)
         for k in range(full_end, end_chunk):
-            carry, stats = jax.jit(chunk_body)(carry, jnp.int32(k))
+            carry, stats = rem_body(carry, jnp.int32(k))
             stats_rows.append(stats[None])
         fields, q, n, v, pi_a, pi_b, m = carry
         history = [tuple(int(x) for x in row)
@@ -1431,5 +1452,6 @@ def fused_best_response_train(cfg: EnvConfig, opp_policy, side: str,
                    for row in history]
     if return_state:
         return q, v, pi_a, pi_b, history, {
-            "q": q, "n": n, "fields": fields, "next_chunk": end_chunk}
+            "q": q, "n": n, "fields": fields, "next_chunk": end_chunk,
+            "packed": packed}
     return q, v, pi_a, pi_b, history

@@ -282,6 +282,27 @@ def test_chunks_per_dispatch_matches_single_dispatch():
     assert h1 == h2
 
 
+def test_avg_after_grouped_matches_per_chunk():
+    """avg_after (strategy time-averaging, the faster-converging
+    estimator) must work on the grouped-dispatch fast path and match the
+    per-chunk loop exactly when schedules are constant (no anneal, so
+    the host-f64 and in-graph-f32 schedules agree bit-for-bit)."""
+    kw = dict(batch=512, n_chunks=7, chunk_len=4, lr=0.7, eps=0.4,
+              solver_iters=40, seed=11, avg_after=2, interpret=True)
+    q1, v1, pa1, pb1, _ = lk.fused_minimax_train(CFG, **kw)
+    q2, v2, pa2, pb2, _ = lk.fused_minimax_train(
+        CFG, chunks_per_dispatch=3, **kw)
+    assert np.array_equal(np.asarray(q1), np.asarray(q2))
+    assert np.array_equal(np.asarray(pa1), np.asarray(pa2))
+    assert np.array_equal(np.asarray(pb1), np.asarray(pb2))
+    # averaged strategies sum to 1 and differ from the raw iterates
+    np.testing.assert_allclose(np.asarray(pa1).sum(-1), 1.0, atol=1e-5)
+    q3, _, pa3, _, _ = lk.fused_minimax_train(
+        CFG, **{**kw, "avg_after": 0})
+    assert np.array_equal(np.asarray(q1), np.asarray(q3))  # q unaffected
+    assert not np.array_equal(np.asarray(pa1), np.asarray(pa3))
+
+
 def test_fused_best_response_matches_exact_br():
     """Fused frozen-opponent training (the reference's single-agent mode,
     soccer_simultaneous_env.py:187-188, main() :507-520) must converge to
