@@ -69,6 +69,12 @@ def main():
                     help="train ONE concatenated table over a mixed "
                          "5x4+6x5 batch through the fused multigrid "
                          "kernel and report per-variant exploitability")
+    ap.add_argument("--with-big", action="store_true",
+                    help="with --multigrid: make the mixture 5x4 + the "
+                         "reference's 11x7 big grid (nS=11705) — the "
+                         "stress case for the per-lane slab bounds and "
+                         "offset planes; per-variant exploitability uses "
+                         "the segmented solvers")
     ap.add_argument("--converge", action="store_true",
                     help="run the verified equilibrium recipe (2.1B steps, "
                          "~30 s on one v5e chip): lr=1.0 Bellman-backup "
@@ -132,21 +138,28 @@ def main():
     if args.multigrid:
         from gym_soccer_tpu.core import tables
         from gym_soccer_tpu.ops import learner_kernel as lk
-        cfgs = (EnvConfig(5, 4, 0.2), EnvConfig(6, 5, 0.2))
+        cfgs = (EnvConfig(5, 4, 0.2),
+                EnvConfig(11, 7, 0.2) if args.with_big
+                else EnvConfig(6, 5, 0.2))
         n_chunks = max(2, args.steps // 64)
         t0 = time.perf_counter()
         q, v, pa, pb, hist = lk.fused_minimax_train(
             cfgs, batch=args.envs, n_chunks=n_chunks, chunk_len=64,
             lr=1.0, eps=0.2, lr_anneal_start=n_chunks // 2,
             lr_anneal_tau=25.0, lr_anneal_pow=1.5,
-            final_solver_iters=2000, interpret=args.interpret)
+            final_solver_iters=2000, interpret=args.interpret,
+            chunks_per_dispatch=1 if args.interpret else 8)
         dt = time.perf_counter() - t0
         steps = n_chunks * 64 * args.envs
         off = 0
         per_variant = {}
         for c in cfgs:
             nS = tables.build_statespace(c).nS
-            ex = exploitability(c, pa[off:off + nS], pb[off:off + nS])
+            # unbounded device while_loops fault the relayed chip at 11x7
+            # scale — use the segmented solvers for big variants
+            seg = 200 if c.width * c.height > 40 else 0
+            ex = exploitability(c, pa[off:off + nS], pb[off:off + nS],
+                                segment_iters=seg)
             per_variant[f"{c.width}x{c.height}"] = round(float(ex), 4)
             off += nS
         log_json(event="finished_multigrid", env_steps=steps,

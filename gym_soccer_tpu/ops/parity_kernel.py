@@ -47,9 +47,19 @@ episode statistics (tests compare against core/parity.parity_policy_events
 which is itself pinned to the reference's golden fixtures).
 
 Scope: closed-loop (policy-driven) parity rollouts — the reference
-main()'s evaluation shape (soccer_simultaneous_env.py:569-613).  Scripted
-per-step action rows stay on the XLA path (a per-lane step-indexed script
-is inherently step-timed).
+main()'s evaluation shape (soccer_simultaneous_env.py:569-613) — AND
+scripted per-step action rows (`parity_scripted_events`), the shape the
+golden-fixture suites exercise (soccer_simultaneous_env.py:394-396 with
+a host-chosen action each step).  Scripted mode re-times the same event
+loop: the script cursor is the lane's transition count (resets consume a
+draw but not a script row, exactly like the XLA path's
+parity_step/parity_rollout), and the cursor-indexed fetch from the
+VMEM-resident script is a slab-bounded masked sum — cursors across a
+lane block stay within a narrow band (they differ only by reset-count
+differences), so only the touched 8-row slabs are scanned; no per-lane
+gather exists on TPU (CLAUDE.md) and none is needed.  Script length is
+VMEM-capped (~1024 rows/lane-block); longer scripts stay on the XLA
+path.
 """
 from __future__ import annotations
 
@@ -179,11 +189,14 @@ def _le4(c3, c2, c1, c0, u3, u2, u1, u0):
             (c1 < u1) | ((c1 == u1) & (c0 <= u0))))))
 
 
+SCRIPT_SLAB = 8
+
+
 def _parity_kernel(mt_ref, jr_ref, cum_ref,
                    journal_ref, ora, oca, orb, ocb, op, ot, onr, osteps,
                    mt_scr, st_scr, dma_sem,
                    *, cfg: EnvConfig, chunk_events: int, n_chunks: int,
-                   rblk: int, pk_static: dict):
+                   rblk: int, pk_static: dict, scripted: bool = False):
     """One lane-block x event-chunk grid cell.
 
     st_scr [10, rblk, 128] carries (ra, ca, rb, cb, p, t, needs_reset,
@@ -192,6 +205,14 @@ def _parity_kernel(mt_ref, jr_ref, cum_ref,
     input block would be double-buffered by the pipeline and blow the
     scoped-VMEM budget).  Doubles are tempered on demand per event from
     word columns 2*cursor, 2*cursor+1.
+
+    ``scripted``: jr_ref is then a [T_script, rblk, 128] int32 per-step
+    joint-row SCRIPT instead of the raw-state joint-row table; each
+    transition event plays script[steps] (steps = the lane's transition
+    count, which resets do not advance — matching core/parity.parity_step
+    where a reset consumes a draw but not a script row).  The fetch is a
+    masked sum over the 8-row slabs [min(steps), max(steps)] of the
+    block — no per-lane gather.
     """
     lb = pl.program_id(0)
     chunk = pl.program_id(1)
@@ -200,11 +221,12 @@ def _parity_kernel(mt_ref, jr_ref, cum_ref,
     isd_limbs = pk_static["isd_limbs"]
     isd_fields = pk_static["isd_fields"]
     combo_probs = pk_static["combo_probs"]
-    NRQ = jr_ref.shape[0]
     PPAD = cum_ref.shape[0]
 
-    q_iota = jax.lax.broadcasted_iota(jnp.int32, (NRQ, LANES), 0)
-    r_iota = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+    if not scripted:
+        NRQ = jr_ref.shape[0]
+        q_iota = jax.lax.broadcasted_iota(jnp.int32, (NRQ, LANES), 0)
+        r_iota = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
     p_iota = jax.lax.broadcasted_iota(jnp.int32, (PPAD, LANES), 0)
 
     @pl.when(chunk == 0)
@@ -260,21 +282,41 @@ def _parity_kernel(mt_ref, jr_ref, cum_ref,
 
         raw = rules.raw_encode(jnp, ra, ca, rb, cb, p, cfg)
 
-        # ---- closed-loop joint row: factored one-hot gather ----
-        qv = raw >> 7
-        rv = raw & (LANES - 1)
-        # (row values < 25 are exact in bf16; the one-hot selects a
-        # single term, so the f32 accumulations are exact too)
-        jr_bf = jr_ref[:].astype(jnp.bfloat16)
-        rows_out = []
-        for rr in range(rblk):
-            ohq = (q_iota == qv[rr][None, :]).astype(jnp.bfloat16)
-            mq = jax.lax.dot_general(
-                jr_bf, ohq, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)      # [128 r, 128 lanes]
-            ohr = (r_iota == rv[rr][None, :]).astype(jnp.float32)
-            rows_out.append(jnp.sum(mq * ohr, axis=0))
-        row = jnp.stack(rows_out).astype(jnp.int32)       # [rblk, 128]
+        if scripted:
+            # ---- script row: slab-bounded masked sum over the block's
+            # cursor band.  Cursors (transition counts) differ across
+            # lanes only by reset-count differences, so the band is
+            # narrow; a slab whose rows no lane is at contributes
+            # nothing and is skipped (bit-identical). ----
+            T_s = jr_ref.shape[0]
+            lo = jnp.min(steps) // SCRIPT_SLAB
+            hi = jnp.minimum(jnp.max(steps), T_s - 1) // SCRIPT_SLAB + 1
+
+            def sbody(j, acc):
+                off = j * SCRIPT_SLAB
+                rows8 = jr_ref[pl.ds(off, SCRIPT_SLAB)]  # [8, rblk, 128]
+                for s in range(SCRIPT_SLAB):
+                    acc = acc + jnp.where(steps == off + s, rows8[s], 0)
+                return acc
+
+            row = jax.lax.fori_loop(lo, hi, sbody,
+                                    jnp.zeros(blk, jnp.int32))
+        else:
+            # ---- closed-loop joint row: factored one-hot gather ----
+            qv = raw >> 7
+            rv = raw & (LANES - 1)
+            # (row values < 25 are exact in bf16; the one-hot selects a
+            # single term, so the f32 accumulations are exact too)
+            jr_bf = jr_ref[:].astype(jnp.bfloat16)
+            rows_out = []
+            for rr in range(rblk):
+                ohq = (q_iota == qv[rr][None, :]).astype(jnp.bfloat16)
+                mq = jax.lax.dot_general(
+                    jr_bf, ohq, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # [128 r, 128 lanes]
+                ohr = (r_iota == rv[rr][None, :]).astype(jnp.float32)
+                rows_out.append(jnp.sum(mq * ohr, axis=0))
+            row = jnp.stack(rows_out).astype(jnp.int32)   # [rblk, 128]
         aa = row // N_ACTIONS
         ab = row - aa * N_ACTIONS
 
@@ -542,6 +584,96 @@ def parity_events(cfg: EnvConfig, seeds: jax.Array, jr: jax.Array,
         ],
         interpret=interpret,
     )(mt0, jr_pad, cum)
+    journal, *fin = outs
+    return ParityEventsOut(journal.reshape(n_events, B),
+                           *(f.reshape(B) for f in fin))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_events",
+                                             "chunk_events", "interpret"))
+def parity_scripted_events(cfg: EnvConfig, seeds: jax.Array,
+                           rows: jax.Array, n_events: int,
+                           chunk_events: int | None = None,
+                           interpret: bool = False) -> ParityEventsOut:
+    """SCRIPTED bit-exact parity rollout on-chip (the golden-fixture
+    harness shape: one host-chosen action row per step,
+    soccer_simultaneous_env.py:394-396).
+
+    ``rows``: int32 [T, B] per-step joint-row script (aa*5+ab, or the
+    single-agent action — same convention as core/parity.parity_rollout,
+    which this kernel reproduces event-for-event: lane i's k-th
+    transition plays rows[k, i]; interleaved reset draws advance the
+    MT19937 stream but not the script cursor).  Run enough events to
+    cover the script: n_events >= T + (resets incurred); the returned
+    per-lane ``steps`` says how many script rows were consumed — lanes
+    past the script's end play row 0, so size n_events to taste and cut
+    per lane when decoding.
+
+    The script lives in VMEM per lane block (T is padded to a multiple
+    of 8); scripts longer than ~1024 rows exceed the budget — use the
+    XLA path (core/parity.parity_rollout) for those."""
+    pk = build_pk(cfg)
+    seeds = jnp.asarray(seeds, jnp.uint32)
+    B = seeds.shape[0]
+    assert B % LANES == 0, f"batch must be a multiple of {LANES}"
+    R = B // LANES
+    rows = jnp.asarray(rows, jnp.int32)
+    assert rows.ndim == 2 and rows.shape[1] == B, \
+        f"rows must be [T, {B}]"
+    T = rows.shape[0]
+    T_pad = -(-T // SCRIPT_SLAB) * SCRIPT_SLAB
+    rblk = next(r for r in range(min(8, R), 0, -1) if R % r == 0)
+    script_mb = T_pad * rblk * LANES * 4 / 2**20
+    if script_mb > 4:
+        raise ValueError(
+            f"script too long for the fused parity kernel (~{script_mb:.0f}"
+            f" MB of VMEM per lane block at T={T}); use "
+            f"core/parity.parity_rollout")
+    n_blocks = R // rblk
+    if chunk_events is None:
+        chunk_events = next(c for c in range(min(128, n_events), 0, -1)
+                            if n_events % c == 0)
+    assert n_events % chunk_events == 0, \
+        f"n_events must be a multiple of chunk_events={chunk_events}"
+    n_chunks = n_events // chunk_events
+
+    mt0 = mt19937.seed_states(seeds).T.reshape(mt19937.N, R, LANES)
+    script = jnp.zeros((T_pad, B), jnp.int32).at[:T].set(rows)
+    script = script.reshape(T_pad, R, LANES)
+    cum = jnp.asarray(pk.cum_limbs)
+
+    kernel = functools.partial(
+        _parity_kernel, cfg=cfg, chunk_events=chunk_events,
+        n_chunks=n_chunks, rblk=rblk, scripted=True,
+        pk_static=dict(occ_codes=pk.occ_codes, isd_limbs=pk.isd_limbs,
+                       isd_fields=pk.isd_fields,
+                       combo_probs=cfg.combo_probs()))
+
+    lane_blk = pl.BlockSpec((rblk, LANES), lambda b, k: (b, 0),
+                            memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_blocks, n_chunks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((T_pad, rblk, LANES), lambda b, k: (0, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_shape=tuple(
+            [jax.ShapeDtypeStruct((n_events, R, LANES), jnp.int32)] +
+            [jax.ShapeDtypeStruct((R, LANES), jnp.int32)] * 8),
+        out_specs=tuple(
+            [pl.BlockSpec((chunk_events, rblk, LANES),
+                          lambda b, k: (k, b, 0),
+                          memory_space=pltpu.VMEM)] + [lane_blk] * 8),
+        scratch_shapes=[
+            pltpu.VMEM((mt19937.N, rblk, LANES), jnp.uint32),
+            pltpu.VMEM((10, rblk, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(mt0, script, cum)
     journal, *fin = outs
     return ParityEventsOut(journal.reshape(n_events, B),
                            *(f.reshape(B) for f in fin))

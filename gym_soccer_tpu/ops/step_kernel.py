@@ -679,6 +679,303 @@ def pallas_multigrid_rollout_chained(cfgs: tuple, seed, batch: int,
     return fields, stats
 
 
+# ----------------------------------------------------------------------
+# JOURNALED fused rollout: full per-step trajectories at pallas speed
+# ----------------------------------------------------------------------
+# The reference's step() emits the full transition every tick — obs,
+# rewards, dones, truncateds, infos (soccer_simultaneous_env.py:375-408).
+# The stats-only fused kernel above discards that stream; the XLA
+# journaling path (core/batch.rollout) keeps it but tops out ~100M
+# steps/s (HBM-bound [T, B] StepOut stacking plus per-step overheads).
+# This kernel journals ONE packed int32 word per lane-step into an HBM
+# ring while stepping at fused-kernel speed: the time axis becomes the
+# inner grid dimension, so each (T_inner, rows, 128) journal slab is
+# pipelined out to HBM by pallas while the next slab is computed —
+# state stays VMEM-resident across the whole dispatch.
+#
+# Word layout (little end first):
+#   bits  0-15  raw state code of the PRE-autoreset next state
+#               (mixed-radix, core/rules.raw_encode; needs H*W*H*W*2
+#               <= 65536 — holds for every BASELINE grid incl. 11x7's
+#               16562)
+#   bits 16-20  joint action aa * 5 + ab
+#   bit  21     goal (done)
+#   bit  22     truncation
+#   bit  23     reward sign (set iff reward_a == +1; with bit 21 this
+#               reconstructs the exact reward in {-1, 0, +1})
+#   bits 24-25  autoreset ISD index (which initial state a terminated
+#               lane teleported to) — makes the journal self-contained:
+#               the post-reset observation is recovered WITHOUT replaying
+#               the RNG
+# `unpack_journal` decodes the stream into the reference-shaped
+# per-step arrays (obs / final_obs / actions / reward / done / trunc).
+
+
+def _journal_kernel(seed_ref, ra_ref, ca_ref, rb_ref, cb_ref, p_ref, t_ref,
+                    ora, oca, orb, ocb, op, ot, stats_ref, jr_ref,
+                    *, cfg: EnvConfig, t_inner: int, q_int: int):
+    from ..core import rules
+    seed = seed_ref[0].astype(jnp.uint32)
+    off = seed_ref[1]
+    b = pl.program_id(0)
+    j = pl.program_id(1)          # time-slab index (inner grid dim)
+    shape = ra_ref.shape
+    rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    block = b.astype(jnp.uint32)
+    lane_ctr = (block * jnp.uint32(shape[0] * shape[1])
+                + rows * jnp.uint32(shape[1]) + cols)
+    nI = 4 if len(cfg.goal_rows) % 2 == 0 else 2
+
+    @pl.when(j == 0)
+    def _init():
+        # first time slab of this lane block: state comes from the inputs;
+        # later slabs continue from the VMEM-resident output refs (their
+        # index map is constant in j, so the block is never written back
+        # until the last slab)
+        ora[:], oca[:] = ra_ref[:], ca_ref[:]
+        orb[:], ocb[:] = rb_ref[:], cb_ref[:]
+        op[:], ot[:] = p_ref[:], t_ref[:]
+        stats_ref[b, 0] = 0
+        stats_ref[b, 1] = 0
+        stats_ref[b, 2] = 0
+
+    def body(i, carry):
+        ra, ca, rb, cb, p, t, rew, goals, truncs = carry
+        step_idx = j * t_inner + i + off
+        bits0 = _random_word(seed, step_idx, 0, lane_ctr)
+        bits1 = _random_word(seed, step_idx, 1, lane_ctr)
+        bits2 = _random_word(seed, step_idx, 2, lane_ctr)
+        aa = _u16(bits0, 0) % 5
+        ab = _u16(bits0, 1) % 5
+        nra, nca, nrb, ncb, npz, goal, r = transition_core(
+            ra, ca, rb, cb, p, aa, ab, bits1, bits2, cfg, q_int)
+        raw = rules.raw_encode(jnp, nra, nca, nrb, ncb, npz, cfg)
+        fra, fca, frb, fcb, fpz, t2, trunc = autoreset_core(
+            nra, nca, nrb, ncb, npz, t, goal, bits2, cfg)
+        isd_idx = _u16(bits2, 1) % nI     # same draw autoreset_core used
+        word = (raw
+                | ((aa * 5 + ab) << 16)
+                | (goal.astype(jnp.int32) << 21)
+                | (trunc.astype(jnp.int32) << 22)
+                | ((r == 1).astype(jnp.int32) << 23)
+                | (isd_idx << 24))
+        jr_ref[pl.ds(i, 1)] = word[None]
+        return (fra, fca, frb, fcb, fpz, t2,
+                rew + r, goals + goal.astype(jnp.int32),
+                truncs + trunc.astype(jnp.int32))
+
+    zeros = jnp.zeros(shape, jnp.int32)
+    carry = (ora[:], oca[:], orb[:], ocb[:], op[:], ot[:],
+             zeros, zeros, zeros)
+    ra, ca, rb, cb, p, t, rew, goals, truncs = jax.lax.fori_loop(
+        0, t_inner, body, carry)
+    ora[:], oca[:], orb[:], ocb[:] = ra, ca, rb, cb
+    op[:], ot[:] = p, t
+    stats_ref[b, 0] = stats_ref[b, 0] + jnp.sum(rew)
+    stats_ref[b, 1] = stats_ref[b, 1] + jnp.sum(goals)
+    stats_ref[b, 2] = stats_ref[b, 2] + jnp.sum(truncs)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "n_steps", "batch", "interpret",
+                                    "block_rows", "t_inner"))
+def pallas_journal_rollout(cfg: EnvConfig, seed: jax.Array, batch: int,
+                           n_steps: int, interpret: bool = False,
+                           block_rows: int | None = None,
+                           t_inner: int | None = None,
+                           init_fields=None, step_offset=0):
+    """Random-vs-random fused rollout that JOURNALS every transition.
+
+    Bit-identical trajectories to `pallas_rollout` (same counter PRNG on
+    global lane ids, same transition path) plus a packed int32 journal
+    [n_steps, batch/128, 128] — one word per lane-step, layout above;
+    decode with `unpack_journal`.  Returns (final_fields, stats, journal).
+
+    ``t_inner`` (default auto) is the time-slab height: the journal is
+    written as (t_inner, block_rows, 128) VMEM slabs that pallas pipelines
+    to HBM while the next slab computes.  n_steps must be divisible by the
+    chosen t_inner.  Chain long measurement legs with
+    `pallas_journal_rollout_chained` (the per-dispatch fused-step ceiling
+    applies here like everywhere else, CLAUDE.md)."""
+    assert batch % (8 * LANES) == 0, "batch must be a multiple of 1024"
+    n_raw = cfg.H * cfg.W * cfg.H * cfg.W * 2
+    assert n_raw <= 65536, \
+        f"raw state code needs {n_raw} values; journal word holds 16 bits"
+    shape = (batch // LANES, LANES)
+    q_int = int(round(cfg.slip_prob * 65536))
+
+    if block_rows:
+        if shape[0] % block_rows:
+            raise ValueError(
+                f"block_rows={block_rows} does not divide the batch's "
+                f"{shape[0]} rows")
+        BR = block_rows
+    else:
+        BR = next(r for r in range(min(shape[0], 64), 0, -1)
+                  if shape[0] % r == 0)
+    n_blocks = shape[0] // BR
+    blk = (BR, LANES)
+
+    if t_inner is None:
+        # journal slab <= ~2 MB (double-buffered 4 MB): BR * t_inner <= 4096
+        cap = max(1, 4096 // BR)
+        t_inner = next(t for t in range(min(n_steps, cap), 0, -1)
+                       if n_steps % t == 0)
+    if n_steps % t_inner:
+        raise ValueError(f"t_inner={t_inner} does not divide {n_steps}")
+    n_outer = n_steps // t_inner
+
+    if init_fields is None:
+        init = list(isd_spread_fields(cfg, batch, shape))
+        init.append(jnp.zeros(shape, jnp.int32))          # t
+    else:
+        init = [jnp.asarray(f) for f in init_fields]
+        assert len(init) == 6, "init_fields = 6 arrays (ra,ca,rb,cb,p,t)"
+
+    kernel = functools.partial(_journal_kernel, cfg=cfg, t_inner=t_inner,
+                               q_int=q_int)
+    out_shapes = ([jax.ShapeDtypeStruct(shape, jnp.int32)] * 6 +
+                  [jax.ShapeDtypeStruct((n_blocks, 3), jnp.int32),
+                   jax.ShapeDtypeStruct((n_steps,) + shape, jnp.int32)])
+    state_spec = pl.BlockSpec(blk, lambda b, j: (b, 0),
+                              memory_space=pltpu.VMEM)
+    journal_spec = pl.BlockSpec((t_inner,) + blk, lambda b, j: (j, b, 0),
+                                memory_space=pltpu.VMEM)
+    smem_in = jnp.stack([jnp.asarray(seed, jnp.int32),
+                         jnp.asarray(step_offset, jnp.int32)])
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_blocks, n_outer),
+        out_shape=tuple(out_shapes),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [state_spec] * 6,
+        out_specs=tuple([state_spec] * 6 +
+                        [pl.BlockSpec(memory_space=pltpu.SMEM),
+                         journal_spec]),
+        interpret=interpret,
+    )(smem_in, *init)
+    *fields, stats, journal = outs
+    stats = stats.sum(axis=0)
+    return tuple(fields), (stats[0], stats[1], stats[2]), journal
+
+
+def pallas_journal_rollout_chained(cfg: EnvConfig, seed, batch: int,
+                                   n_steps: int,
+                                   steps_per_call: int = 4096,
+                                   interpret: bool = False,
+                                   block_rows: int | None = None,
+                                   consume=None):
+    """`pallas_journal_rollout` as chained dispatches — bit-identical to
+    one long call.  Journals are yielded per call: ``consume(journal,
+    step_offset)`` is invoked with each chunk's [T_call, B/128, 128]
+    device array (e.g. to host-fetch, decode, or hand off); by default
+    the chunks are collected and returned as a list.  Returns
+    (final_fields, stats, journals_or_None)."""
+    fields = None
+    stats = (jnp.int32(0), jnp.int32(0), jnp.int32(0))
+    chunks = [] if consume is None else None
+    done = 0
+    while done < n_steps:
+        t = min(steps_per_call, n_steps - done)
+        fields, st, journal = pallas_journal_rollout(
+            cfg, seed, batch, t, interpret=interpret,
+            block_rows=block_rows, init_fields=fields, step_offset=done)
+        stats = tuple(a + b for a, b in zip(stats, st))
+        if consume is None:
+            chunks.append(journal)
+        else:
+            consume(journal, done)
+        done += t
+    return fields, stats, chunks
+
+
+def xla_journal_twin(cfg: EnvConfig, seed, batch: int, n_steps: int,
+                     init_fields=None, step_offset=0):
+    """Pure-XLA bit-twin of `pallas_journal_rollout` (same counter PRNG
+    keyed on global lane ids, same transition helpers) — the verification
+    oracle for the journal's bit-exactness.  Test-sized use only."""
+    shape = (batch // LANES, LANES)
+    q_int = int(round(cfg.slip_prob * 65536))
+    nI = 4 if len(cfg.goal_rows) % 2 == 0 else 2
+    from ..core import rules
+
+    if init_fields is None:
+        init = list(isd_spread_fields(cfg, batch, shape))
+        init.append(jnp.zeros(shape, jnp.int32))
+    else:
+        init = [jnp.asarray(f) for f in init_fields]
+    rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    lane_ctr = rows * jnp.uint32(LANES) + cols
+    seed_u = jnp.uint32(seed)
+
+    def body(carry, i):
+        ra, ca, rb, cb, p, t = carry
+        step_idx = i + step_offset
+        bits0 = _random_word(seed_u, step_idx, 0, lane_ctr)
+        bits1 = _random_word(seed_u, step_idx, 1, lane_ctr)
+        bits2 = _random_word(seed_u, step_idx, 2, lane_ctr)
+        aa = _u16(bits0, 0) % 5
+        ab = _u16(bits0, 1) % 5
+        nra, nca, nrb, ncb, npz, goal, r = transition_core(
+            ra, ca, rb, cb, p, aa, ab, bits1, bits2, cfg, q_int)
+        raw = rules.raw_encode(jnp, nra, nca, nrb, ncb, npz, cfg)
+        fra, fca, frb, fcb, fpz, t2, trunc = autoreset_core(
+            nra, nca, nrb, ncb, npz, t, goal, bits2, cfg)
+        isd_idx = _u16(bits2, 1) % nI
+        word = (raw
+                | ((aa * 5 + ab) << 16)
+                | (goal.astype(jnp.int32) << 21)
+                | (trunc.astype(jnp.int32) << 22)
+                | ((r == 1).astype(jnp.int32) << 23)
+                | (isd_idx << 24))
+        return (fra, fca, frb, fcb, fpz, t2), word
+
+    carry, journal = jax.lax.scan(body, tuple(init),
+                                  jnp.arange(n_steps, dtype=jnp.int32))
+    return carry, journal
+
+
+def unpack_journal(cfg: EnvConfig, journal):
+    """Decode a packed journal [T, B/128, 128] (or [T, B]) into the
+    reference-shaped per-step stream (soccer_simultaneous_env.py:375-408
+    emits exactly these fields each tick; core/batch.StepOut is the XLA
+    twin).  Returns a dict of [T, B] arrays:
+
+    obs        int32  post-step observation (post-autoreset, like the
+                      batched engine's StepOut.obs)
+    final_obs  int32  pre-autoreset observation — goal states map to
+                      dense index 0, the reference's terminal obs codec
+    actions_a/actions_b  int32  the actions the lanes played
+    reward_a   float32  +1 / -1 / 0 (player-A perspective)
+    done       bool   goal this step
+    truncated  bool   truncation this step
+    """
+    from ..core import tables
+    ss = tables.build_statespace(cfg)
+    T = journal.shape[0]
+    w = journal.reshape(T, -1)
+    raw = w & 0xFFFF
+    ja = (w >> 16) & 31
+    goal = ((w >> 21) & 1).astype(bool)
+    trunc = ((w >> 22) & 1).astype(bool)
+    rpos = (w >> 23) & 1
+    isd_idx = (w >> 24) & 3
+    final_obs = jnp.asarray(ss.raw_to_dense)[raw]
+    isd_dense = jnp.asarray(ss.raw_to_dense[ss.isd_raw])
+    term = goal | trunc
+    return {
+        "obs": jnp.where(term, isd_dense[isd_idx], final_obs),
+        "final_obs": final_obs,
+        "actions_a": ja // 5,
+        "actions_b": ja % 5,
+        "reward_a": jnp.where(goal, jnp.where(rpos == 1, 1.0, -1.0),
+                              0.0).astype(jnp.float32),
+        "done": goal,
+        "truncated": trunc,
+    }
+
+
 def pallas_alt_rollout_chained(cfg: EnvConfig, seed, batch: int,
                                n_steps: int, steps_per_call: int = 12288,
                                interpret: bool = False,

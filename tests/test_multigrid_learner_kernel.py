@@ -12,6 +12,7 @@ from gym_soccer_tpu.ops import learner_kernel as lk
 
 CFG = EnvConfig(width=5, height=4, slip_prob=0.2)
 CFG2 = EnvConfig(width=6, height=5, slip_prob=0.1)
+CFG117 = EnvConfig(width=11, height=7, slip_prob=0.2)
 
 
 def _uniform_m(cfg):
@@ -69,6 +70,69 @@ def test_mg_chunk_accumulates_per_variant():
     for f, hi in zip(fields2[:4], (H, W, H, W)):
         arr = np.asarray(f)
         assert (arr >= 0).all() and (arr < hi).all()
+
+
+def test_mg_big_grid_mixture_packed_accounting():
+    """The reference's own big grid (nS=11705, soccer_simultaneous_env.py
+    :501) trains INSIDE a mixture: the per-lane slab bounds, 8-aligned
+    offset planes and VMEM budget (~4.5 MB packed for 5x4+11x7) must hold
+    with a big variant in the mix — exact per-variant visit accounting
+    and bit-equality with the unpacked twin at v=0."""
+    cfgs = (CFG, CFG117)
+    B, T = 256, 4
+    nS = sum(tables.build_statespace(c).nS for c in cfgs)
+    v = jnp.zeros(nS, jnp.float32)
+    uni = jnp.full((nS, 5), 0.2, jnp.float32)
+    m2 = lk.pack_m2(cfgs, uni, uni, v, eps=0.3)
+    planes, fields = lk.init_state_fields(cfgs, B)
+    f2, acc2, st2 = lk.multigrid_packed_learner_chunk(
+        cfgs, 3, m2, planes, fields, B, T, interpret=True)
+    _, cnt = lk.unpack_acc2(cfgs, acc2)
+    cnt = np.asarray(cnt)
+    nS0 = tables.build_statespace(CFG).nS
+    assert cnt.sum() == B * T
+    # blocked lane layout: each variant holds exactly half the lanes
+    assert cnt[:nS0].sum() == (B // 2) * T
+    assert cnt[nS0:].sum() == (B // 2) * T
+    # unpacked twin at v == 0 (residual == td == reward): bit-equal
+    # trajectories, counts and sums
+    q0 = jnp.zeros((nS, 5, 5), jnp.float32)
+    m1 = lk.pack_m(cfgs, uni, uni, q0, v, eps=0.3)
+    f1, acc1, st1 = lk.multigrid_learner_chunk(
+        cfgs, 3, m1, planes, fields, B, T, interpret=True)
+    for a, b in zip(f1, f2):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    sum_td, cnt1 = lk.unpack_acc(cfgs, acc1)
+    sum_res, _ = lk.unpack_acc2(cfgs, acc2)
+    assert np.array_equal(np.asarray(cnt1), cnt)
+    np.testing.assert_allclose(np.asarray(sum_td), np.asarray(sum_res),
+                               rtol=0, atol=0)
+
+
+def test_mg_big_single_variant_matches_static_packed():
+    """(11x7,) as a one-variant mixture must reproduce the static 11x7
+    packed kernel bit-for-bit (counts/sums here are integer-exact, so
+    block-height differences cannot hide behind float summation order)."""
+    B, T = 256, 3
+    nS = tables.build_statespace(CFG117).nS
+    v = jnp.zeros(nS, jnp.float32)
+    uni = jnp.full((nS, 5), 0.2, jnp.float32)
+    m = lk.pack_m2(CFG117, uni, uni, v, eps=0.3)
+    mg = lk.pack_m2((CFG117,), uni, uni, v, eps=0.3)
+    assert np.array_equal(np.asarray(m, np.float32),
+                          np.asarray(mg, np.float32))
+    f1 = lk.init_state_fields(CFG117, B)
+    planes, fmg = lk.init_state_fields((CFG117,), B)
+    for a, b in zip(f1, fmg):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    out1 = lk.packed_learner_chunk(CFG117, 7, m, f1, B, T, interpret=True)
+    outg = lk.multigrid_packed_learner_chunk((CFG117,), 7, mg, planes,
+                                             fmg, B, T, interpret=True)
+    for a, b in zip(out1[0], outg[0]):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    assert np.array_equal(np.asarray(out1[1]), np.asarray(outg[1]))
+    for a, b in zip(out1[2], outg[2]):
+        assert int(np.asarray(a)) == int(np.asarray(b))
 
 
 def test_mg_vmem_guard():

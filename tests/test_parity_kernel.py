@@ -150,6 +150,80 @@ def test_kernel_reproduces_reference_golden_policy_eval():
     assert (J["raw"] == J["raw"][:, :1]).all()
 
 
+def _scripted_oracle(cfg, seeds, rows, T):
+    pt = parity.parity_tables(cfg)
+    hi, lo = parity.gen_streams(seeds, 2 * T + 2)
+    st0 = parity.parity_init(cfg, len(seeds))
+    _, out = jax.jit(lambda s: parity.parity_rollout(
+        cfg, pt, s, jnp.asarray(rows), jnp.asarray(hi), jnp.asarray(lo)))(st0)
+    return jax.tree.map(np.asarray, out)
+
+
+@pytest.mark.parametrize("slip", [0.2, 0.0])
+def test_scripted_kernel_bitexact_vs_step_time_parity(slip):
+    """Per-lane SCRIPTED action rows — the golden-fixture harness shape
+    (soccer_simultaneous_env.py:394-396) — run on the fused kernel:
+    transition events, filtered per lane, must reproduce the step-time
+    scripted rollout (the layer pinned to the reference goldens)
+    bit-for-bit; interleaved reset draws advance the stream but not the
+    script cursor."""
+    cfg = EnvConfig(5, 4, slip)
+    B, T = 128, 120
+    rng = np.random.RandomState(5)
+    rows = (rng.randint(0, 5, (T, B)) * 5
+            + rng.randint(0, 5, (T, B))).astype(np.int32)
+    seeds = np.arange(B, dtype=np.uint32) * 3 + 1
+    step_out = _scripted_oracle(cfg, seeds, rows, T)
+
+    out = pkm.parity_scripted_events(cfg, seeds, rows, 2 * T,
+                                     interpret=True)
+    J = pkm.unpack_journal(out.journal)
+    r2d = tables.build_statespace(cfg).raw_to_dense
+    for b in range(0, B, 13):
+        tr = J["was_reset"][:, b] == 0
+        n = min(int(tr.sum()), T)
+        assert n == T, "2T events must cover the whole script"
+        assert np.array_equal(r2d[J["raw"][tr, b][:n]], step_out.obs[:n, b])
+        assert np.array_equal(
+            J["reward_a"][tr, b][:n].astype(np.float32),
+            step_out.reward_a[:n, b])
+        assert np.array_equal(J["done"][tr, b][:n].astype(bool),
+                              step_out.done[:n, b])
+        assert np.array_equal(J["truncated"][tr, b][:n].astype(bool),
+                              step_out.truncated[:n, b])
+    # steps counts consumed script rows
+    assert (np.asarray(out.steps) >= T).all()
+
+
+def test_scripted_kernel_11x7():
+    """Scripted rows on the reference's big grid."""
+    cfg = EnvConfig(11, 7, 0.2)
+    B, T = 128, 48
+    rng = np.random.RandomState(9)
+    rows = (rng.randint(0, 5, (T, B)) * 5
+            + rng.randint(0, 5, (T, B))).astype(np.int32)
+    seeds = np.arange(B, dtype=np.uint32)
+    step_out = _scripted_oracle(cfg, seeds, rows, T)
+    out = pkm.parity_scripted_events(cfg, seeds, rows, 2 * T,
+                                     interpret=True)
+    J = pkm.unpack_journal(out.journal)
+    r2d = tables.build_statespace(cfg).raw_to_dense
+    for b in (0, 64, 127):
+        tr = J["was_reset"][:, b] == 0
+        n = min(int(tr.sum()), T)
+        assert np.array_equal(r2d[J["raw"][tr, b][:n]],
+                              step_out.obs[:n, b])
+
+
+def test_scripted_kernel_rejects_oversize_scripts():
+    # at B=1024 a lane block holds rblk=8 rows, so a 3000-row script
+    # needs ~12 MB of VMEM per block — over the budget
+    with pytest.raises(ValueError, match="script too long"):
+        pkm.parity_scripted_events(
+            CFG, np.zeros(1024, np.uint32),
+            np.zeros((3000, 1024), np.int32), 128, interpret=True)
+
+
 def test_build_pk_rejects_oversize_grids():
     with pytest.raises(ValueError):
         pkm.build_pk(EnvConfig(40, 30, 0.2))

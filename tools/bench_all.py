@@ -450,6 +450,29 @@ def bench_pallas(quick):
     return (t_long - t_short) * B / max(w_l - w_s, 1e-9)
 
 
+def bench_pallas_journal(quick):
+    """JOURNALED fused rollout: the full per-step transition stream (one
+    packed int32 per lane-step — the reference emits this every tick,
+    soccer_simultaneous_env.py:375-408) written to HBM while stepping.
+    Journal chunks stay on device (a consumer would overlap decode/fetch);
+    the slope includes every journal HBM write because each dispatch's
+    stats depend on the whole kernel having run."""
+    from gym_soccer_tpu.ops.step_kernel import pallas_journal_rollout_chained
+    B = 8192
+    t_short, t_long = (512, 2048) if quick else (1024, 8192)
+
+    def measure(T):
+        def run():
+            _, st, _ = pallas_journal_rollout_chained(
+                CFG, jnp.int32(1), B, T, steps_per_call=2048,
+                consume=lambda j, off: None)
+            fetch(st[1])
+        return timed(run, n=5)
+
+    w_s, w_l = measure(t_short), measure(t_long)
+    return (t_long - t_short) * B / max(w_l - w_s, 1e-9)
+
+
 def bench_pallas_alt(quick):
     """Fused alternating-turn rollout (single-mover ticks).  The tick is
     ~2.6x cheaper than the simultaneous game's, so the slope needs a wider
@@ -512,6 +535,7 @@ def main():
         ("parity_bit_exact", bench_parity),
         ("parity_kernel_fused", bench_parity_kernel),
         ("pallas_fused", bench_pallas),
+        ("pallas_fused_journal", bench_pallas_journal),
         ("pallas_multigrid_fused", bench_pallas_multigrid),
         ("pallas_alt_fused", bench_pallas_alt),
         ("table_build_native", bench_table_build),
