@@ -85,9 +85,9 @@ def main():
                     metavar=("W", "H"),
                     help="board size for --converge (default 5 4).  "
                          "'--grid 11 7' runs the reference's big grid "
-                         "(nS=11705): 6.3B steps in ~2.5 min reach mean "
-                         "|v-V*| ~ 0.007 vs the exact Shapley solve, "
-                         "exploitability ~0.027 (floor 0.0014); "
+                         "(nS=11705): 12.6B steps in ~5 min reach "
+                         "exploitability ~0.0035 vs the exact Shapley "
+                         "floor 0.0014 (round-5 avg_q recipe); "
                          "evaluation runs the SEGMENTED solvers "
                          "(unbounded device loops fault the relayed "
                          "chip at this scale)")
@@ -176,14 +176,18 @@ def main():
         # bodies per dispatch — 29.5 s wall for the 2.1B-step recipe on
         # this relayed chip vs 124.5 s with per-chunk dispatches (the
         # loop is round-trip-bound, not compute-bound; same recipe,
-        # exploitability 0.0030 vs 0.0032).  Big grids get a longer
-        # anneal tail (sparser per-cell visits per chunk) and SEGMENTED
-        # exploitability evaluation.
+        # exploitability 0.0030 vs 0.0032).  The big grid uses the
+        # round-5 recipe (BASELINE.md sweep): eps floor 0.15 for
+        # off-equilibrium coverage, 600-iteration in-loop solves, and
+        # avg_q — solve the Q table time-averaged over the deep-anneal
+        # tail (solve(mean Q) beats mean(solve Q): the matrix-game solve
+        # amplifies Q noise at near-ties) — plus SEGMENTED evaluation.
         if big:
-            kw = dict(n_chunks=3000, eps=0.25, eps_halflife=40000,
-                      eps_min=0.08, lr_anneal_start=1500,
-                      lr_anneal_tau=80.0, lr_anneal_pow=1.2,
-                      solver_iters=300, seed=2)
+            kw = dict(n_chunks=6000, eps=0.25, eps_halflife=40000,
+                      eps_min=0.15, lr_anneal_start=2500,
+                      lr_anneal_tau=160.0, lr_anneal_pow=1.2,
+                      solver_iters=600, avg_after=4000, avg_q=True,
+                      seed=2)
         else:
             kw = dict(n_chunks=1000, eps=0.2, lr_anneal_start=500,
                       lr_anneal_tau=25.0, lr_anneal_pow=1.5,

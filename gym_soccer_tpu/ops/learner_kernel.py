@@ -923,6 +923,7 @@ def fused_minimax_train(cfg, batch: int, n_chunks: int,
                         lr_anneal_tau: float = 0.0,
                         lr_anneal_pow: float = 1.0,
                         avg_after: int = 0,
+                        avg_q: bool = False,
                         final_solver_iters: int = 0,
                         interpret: bool = False,
                         single_dispatch: bool = False,
@@ -964,6 +965,15 @@ def fused_minimax_train(cfg, batch: int, n_chunks: int,
     fictitious play / regret averaging) their average converges much
     faster than the iterates.  The returned (v, q) stay the final
     iterates; only (pi_a, pi_b) are averaged (then re-normalized).
+
+    ``avg_q`` (with avg_after) averages the Q TABLE over the same tail
+    window and returns the equilibrium of solve(mean Q) instead of the
+    mean of the per-chunk equilibria: the matrix-game solve amplifies Q
+    noise at near-ties, so solving the time-averaged game beats
+    averaging the per-iterate solutions (see BASELINE.md's round-5 11x7
+    sweep).  The final solve uses ``final_solver_iters`` (or
+    ``solver_iters`` if 0); returned v is solve(mean Q)'s value while q
+    stays the final iterate.
 
     ``init``: optional (q, v, pi_a, pi_b) or (q, v, pi_a, pi_b, n) warm
     start — resume a previous run or chain phases with different lr/eps
@@ -1150,12 +1160,14 @@ def fused_minimax_train(cfg, batch: int, n_chunks: int,
     end_chunk = start_chunk + n_chunks
 
     zsum = jnp.zeros((nS, N_ACTIONS), jnp.float32)
+    zq = jnp.zeros((nS, N_ACTIONS, N_ACTIONS), jnp.float32)
 
     def chunk_body(carry, k):
         # Shared by the single_dispatch and chunks_per_dispatch scans.
-        # pa_sum/pb_sum carry the avg_after strategy time-average (zeros,
-        # and statically elided below, when avg_after == 0).
-        fields, q, n, v, pa, pb, m, pa_sum, pb_sum = carry
+        # pa_sum/pb_sum (+ q_sum under avg_q) carry the avg_after
+        # time-averages (zeros, and statically elided, when avg_after
+        # == 0).
+        fields, q, n, v, pa, pb, m, pa_sum, pb_sum, q_sum = carry
         fields, acc, stats = chunk(seed * 1_000_003 + k, m, fields)
         kf = k.astype(jnp.float32)
         q, n, v, pa, pb, m = between(
@@ -1165,19 +1177,22 @@ def fused_minimax_train(cfg, batch: int, n_chunks: int,
             w = (k >= avg_after).astype(jnp.float32)
             pa_sum = pa_sum + w * pa
             pb_sum = pb_sum + w * pb
-        return (fields, q, n, v, pa, pb, m, pa_sum, pb_sum), jnp.stack(
-            [s.astype(jnp.int32) for s in stats])
+            if avg_q:
+                q_sum = q_sum + w * q
+        return (fields, q, n, v, pa, pb, m, pa_sum, pb_sum,
+                q_sum), jnp.stack([s.astype(jnp.int32) for s in stats])
 
-    pa_sum = pb_sum = None
+    pa_sum = pb_sum = q_sum = None
     if single_dispatch:
         @jax.jit
         def whole_run(fields, q, n, v, pi_a, pi_b, m):
             carry, stats = jax.lax.scan(
-                chunk_body, (fields, q, n, v, pi_a, pi_b, m, zsum, zsum),
+                chunk_body,
+                (fields, q, n, v, pi_a, pi_b, m, zsum, zsum, zq),
                 jnp.arange(start_chunk, end_chunk))
             return carry + (stats,)
 
-        (fields, q, n, v, pi_a, pi_b, _, pa_sum, pb_sum,
+        (fields, q, n, v, pi_a, pi_b, _, pa_sum, pb_sum, q_sum,
          stats) = whole_run(fields, q, n, v, pi_a, pi_b, m0)
         history = [tuple(int(x) for x in row) for row in np.asarray(stats)]
     elif chunks_per_dispatch > 1:
@@ -1191,7 +1206,7 @@ def fused_minimax_train(cfg, batch: int, n_chunks: int,
             return carry, stats
 
         rem_body = jax.jit(chunk_body)
-        carry = (fields, q, n, v, pi_a, pi_b, m0, zsum, zsum)
+        carry = (fields, q, n, v, pi_a, pi_b, m0, zsum, zsum, zq)
         stats_rows = []
         full_end = start_chunk + ((end_chunk - start_chunk) // g) * g
         for s0 in range(start_chunk, full_end, g):
@@ -1200,7 +1215,7 @@ def fused_minimax_train(cfg, batch: int, n_chunks: int,
         for k in range(full_end, end_chunk):  # remainder, per chunk
             carry, stats = rem_body(carry, jnp.int32(k))
             stats_rows.append(stats[None])
-        fields, q, n, v, pi_a, pi_b, _, pa_sum, pb_sum = carry
+        fields, q, n, v, pi_a, pi_b, _, pa_sum, pb_sum, q_sum = carry
         history = [tuple(int(x) for x in row)
                    for s in stats_rows for row in np.asarray(s)]
     else:
@@ -1219,6 +1234,8 @@ def fused_minimax_train(cfg, batch: int, n_chunks: int,
             if avg_after and k >= avg_after:
                 pa_sum = pi_a if pa_sum is None else accum(pa_sum, pi_a)
                 pb_sum = pi_b if pb_sum is None else accum(pb_sum, pi_b)
+                if avg_q:
+                    q_sum = q if q_sum is None else accum(q_sum, q)
             if k % 16 == 0 or k == end_chunk - 1:
                 # keep device scalars — a host int() here would drain the
                 # whole async dispatch pipeline every 16 chunks (the relay
@@ -1237,7 +1254,12 @@ def fused_minimax_train(cfg, batch: int, n_chunks: int,
               "n": n, "fields": fields, "next_chunk": end_chunk,
               "packed": packed}
     averaged = avg_after and end_chunk - 1 >= avg_after
-    if averaged:
+    if averaged and avg_q:
+        W = end_chunk - max(avg_after, start_chunk)
+        v, pi_a, pi_b = jax.jit(
+            lambda qs: solve_matrix_games(
+                qs / W, iters=final_solver_iters or solver_iters))(q_sum)
+    elif averaged:
         norm = jax.jit(lambda s: s / s.sum(-1, keepdims=True))
         pi_a, pi_b = norm(pa_sum), norm(pb_sum)
     if final_solver_iters and not averaged:

@@ -190,6 +190,7 @@ def _le4(c3, c2, c1, c0, u3, u2, u1, u0):
 
 
 SCRIPT_SLAB = 8
+SCRIPT_PACK = 6   # script entries (5-bit joint rows) packed per int32
 
 
 def _parity_kernel(mt_ref, jr_ref, cum_ref,
@@ -283,24 +284,32 @@ def _parity_kernel(mt_ref, jr_ref, cum_ref,
         raw = rules.raw_encode(jnp, ra, ca, rb, cb, p, cfg)
 
         if scripted:
-            # ---- script row: slab-bounded masked sum over the block's
-            # cursor band.  Cursors (transition counts) differ across
-            # lanes only by reset-count differences, so the band is
-            # narrow; a slab whose rows no lane is at contributes
-            # nothing and is skipped (bit-identical). ----
-            T_s = jr_ref.shape[0]
-            lo = jnp.min(steps) // SCRIPT_SLAB
-            hi = jnp.minimum(jnp.max(steps), T_s - 1) // SCRIPT_SLAB + 1
-
-            def sbody(j, acc):
-                off = j * SCRIPT_SLAB
-                rows8 = jr_ref[pl.ds(off, SCRIPT_SLAB)]  # [8, rblk, 128]
+            # ---- script row: STATIC masked scan over the 6-PACKED
+            # script (SCRIPT_PACK rows of 5 bits per int32 word — joint
+            # rows are < 25).  Design history: a dynamic slab-bounded
+            # loop over only the block's cursor band LOOKS cheapest, but
+            # a dynamic-trip-count loop per event serializes against the
+            # scalar core (measured 17M vs the closed-loop ~420M
+            # events/s on-chip); an UNPACKED static scan is pure
+            # predicated VPU work but pays ~3 int ops per script row per
+            # event (measured 30M at 800 rows).  Packing 6 entries per
+            # word cuts the scan 6x: match on the packed-row index
+            # steps // 6, then one shift/mask extracts the lane's
+            # subfield after the scan. ----
+            T_p = jr_ref.shape[0]
+            pk_idx = steps // SCRIPT_PACK
+            sub = steps - pk_idx * SCRIPT_PACK
+            word = jnp.zeros(blk, jnp.int32)
+            for j in range(T_p // SCRIPT_SLAB):
+                rows8 = jr_ref[j * SCRIPT_SLAB:(j + 1) * SCRIPT_SLAB]
                 for s in range(SCRIPT_SLAB):
-                    acc = acc + jnp.where(steps == off + s, rows8[s], 0)
-                return acc
-
-            row = jax.lax.fori_loop(lo, hi, sbody,
-                                    jnp.zeros(blk, jnp.int32))
+                    word = word + jnp.where(pk_idx == j * SCRIPT_SLAB + s,
+                                            rows8[s], 0)
+            # constant-shift select beats a per-lane variable shift
+            # (Mosaic synthesizes the latter expensively)
+            row = jnp.zeros(blk, jnp.int32)
+            for s in range(SCRIPT_PACK):
+                row = row + jnp.where(sub == s, (word >> (5 * s)) & 31, 0)
         else:
             # ---- closed-loop joint row: factored one-hot gather ----
             qv = raw >> 7
@@ -609,9 +618,10 @@ def parity_scripted_events(cfg: EnvConfig, seeds: jax.Array,
     past the script's end play row 0, so size n_events to taste and cut
     per lane when decoding.
 
-    The script lives in VMEM per lane block (T is padded to a multiple
-    of 8); scripts longer than ~1024 rows exceed the budget — use the
-    XLA path (core/parity.parity_rollout) for those."""
+    The script lives 6-PACKED in VMEM per lane block (rows are < 25, so
+    SCRIPT_PACK=6 entries of 5 bits share one int32); scripts longer
+    than ~6000 rows exceed the budget — use the XLA path
+    (core/parity.parity_rollout) for those."""
     pk = build_pk(cfg)
     seeds = jnp.asarray(seeds, jnp.uint32)
     B = seeds.shape[0]
@@ -621,9 +631,9 @@ def parity_scripted_events(cfg: EnvConfig, seeds: jax.Array,
     assert rows.ndim == 2 and rows.shape[1] == B, \
         f"rows must be [T, {B}]"
     T = rows.shape[0]
-    T_pad = -(-T // SCRIPT_SLAB) * SCRIPT_SLAB
+    T_pack = -(-(-(-T // SCRIPT_PACK)) // SCRIPT_SLAB) * SCRIPT_SLAB
     rblk = next(r for r in range(min(8, R), 0, -1) if R % r == 0)
-    script_mb = T_pad * rblk * LANES * 4 / 2**20
+    script_mb = T_pack * rblk * LANES * 4 / 2**20
     if script_mb > 4:
         raise ValueError(
             f"script too long for the fused parity kernel (~{script_mb:.0f}"
@@ -638,8 +648,11 @@ def parity_scripted_events(cfg: EnvConfig, seeds: jax.Array,
     n_chunks = n_events // chunk_events
 
     mt0 = mt19937.seed_states(seeds).T.reshape(mt19937.N, R, LANES)
-    script = jnp.zeros((T_pad, B), jnp.int32).at[:T].set(rows)
-    script = script.reshape(T_pad, R, LANES)
+    padded = jnp.zeros((T_pack * SCRIPT_PACK, B), jnp.int32).at[:T].set(rows)
+    script = jnp.zeros((T_pack, B), jnp.int32)
+    for s in range(SCRIPT_PACK):
+        script = script + (padded[s::SCRIPT_PACK] << (5 * s))
+    script = script.reshape(T_pack, R, LANES)
     cum = jnp.asarray(pk.cum_limbs)
 
     kernel = functools.partial(
@@ -656,7 +669,7 @@ def parity_scripted_events(cfg: EnvConfig, seeds: jax.Array,
         grid=(n_blocks, n_chunks),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((T_pad, rblk, LANES), lambda b, k: (0, b, 0),
+            pl.BlockSpec((T_pack, rblk, LANES), lambda b, k: (0, b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],

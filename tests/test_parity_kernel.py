@@ -216,12 +216,12 @@ def test_scripted_kernel_11x7():
 
 
 def test_scripted_kernel_rejects_oversize_scripts():
-    # at B=1024 a lane block holds rblk=8 rows, so a 3000-row script
-    # needs ~12 MB of VMEM per block — over the budget
+    # at B=1024 a lane block holds rblk=8 rows; 6-packed, a 50k-row
+    # script still needs ~32 MB of VMEM per block — over the budget
     with pytest.raises(ValueError, match="script too long"):
         pkm.parity_scripted_events(
             CFG, np.zeros(1024, np.uint32),
-            np.zeros((3000, 1024), np.int32), 128, interpret=True)
+            np.zeros((50000, 1024), np.int32), 128, interpret=True)
 
 
 def test_build_pk_rejects_oversize_grids():

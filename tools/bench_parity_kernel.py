@@ -91,7 +91,61 @@ def main():
         "env_steps_per_s_bit_exact": round(ev_rate * step_frac),
         "w_short_s": round(w1, 4), "w_long_s": round(w2, 4),
     }))
-    return 0
+
+    # ---- SCRIPTED mode: on-chip exactness + slope ----
+    # the script must cover every measured event (lanes past its end
+    # play row 0 through an empty cursor band — cheaper, so letting the
+    # slope run off the script would inflate the number); 800 rows is
+    # near the VMEM cap and covers the 768-event long leg
+    T = 800
+    e_s, e_l = (256, 768) if not args.quick else (128, 384)
+    rng = np.random.RandomState(3)
+    rows_s = (rng.randint(0, 5, (T, B)) * 5
+              + rng.randint(0, 5, (T, B))).astype(np.int32)
+    o = pkm.parity_scripted_events(CFG, seeds, rows_s, 256)
+    Js = pkm.unpack_journal(np.asarray(o.journal)[:, :128])
+    hi, lo = parity.gen_streams(seeds[:128], 2 * 128 + 2)
+    st0 = parity.parity_init(CFG, 128)
+    _, so = jax.jit(lambda s: parity.parity_rollout(
+        CFG, pt, s, jnp.asarray(rows_s[:128, :128]), jnp.asarray(hi),
+        jnp.asarray(lo)))(st0)
+    so = jax.tree.map(np.asarray, so)
+    r2d = tables.build_statespace(CFG).raw_to_dense
+    ok = True
+    n_script = so.obs.shape[0]  # oracle ran 128 script rows
+    for b in range(0, 128, 31):
+        tr = Js["was_reset"][:, b] == 0
+        n = min(int(tr.sum()), n_script)
+        ok &= np.array_equal(r2d[Js["raw"][tr, b][:n]], so.obs[:n, b])
+        ok &= np.array_equal(Js["reward_a"][tr, b][:n].astype(np.float32),
+                             so.reward_a[:n, b])
+    print(json.dumps({"check": "scripted_on_chip_bit_exact",
+                      "ok": bool(ok)}))
+
+    def run_s(E):
+        o = pkm.parity_scripted_events(CFG, seeds, rows_s, E)
+        return int(np.asarray(o.steps).sum())
+
+    def timed_s(E, n=3):
+        run_s(E)
+        ts, s = [], 0
+        for _ in range(n):
+            t0 = time.perf_counter()
+            s = run_s(E)
+            ts.append(time.perf_counter() - t0)
+        return sorted(ts)[n // 2], s
+
+    ws1, _ = timed_s(e_s)
+    ws2, ss2 = timed_s(e_l)
+    ev_rate_s = (e_l - e_s) * B / max(ws2 - ws1, 1e-9)
+    frac_s = ss2 / (e_l * B)
+    print(json.dumps({
+        "metric": "parity_kernel_scripted", "batch": B, "script_rows": T,
+        "events_per_s": round(ev_rate_s),
+        "env_steps_per_s_bit_exact": round(ev_rate_s * frac_s),
+        "w_short_s": round(ws1, 4), "w_long_s": round(ws2, 4),
+    }))
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":
