@@ -530,22 +530,29 @@ class ParityEventsOut(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_events",
-                                             "chunk_events", "interpret"))
+                                             "chunk_events", "interpret",
+                                             "max_rblk"))
 def parity_events(cfg: EnvConfig, seeds: jax.Array, jr: jax.Array,
                   n_events: int, chunk_events: int | None = None,
-                  interpret: bool = False) -> ParityEventsOut:
+                  interpret: bool = False,
+                  max_rblk: int = 16) -> ParityEventsOut:
     """Run ``n_events`` reference-exact events for ``len(seeds)`` lanes.
 
     ``seeds``: uint32 [B] — lane i reproduces the reference env seeded
     RandomState(seeds[i]).  ``jr``: int32 [n_raw] joint-row table from
-    `jointrow_raw`.  B must be a multiple of 128.
+    `jointrow_raw`.  B must be a multiple of 128.  ``max_rblk`` caps the
+    lane-block height (the per-lane 624-word MT19937 state costs
+    rblk x 320 KB of scratch VMEM; 16 — ~7.5 MB scoped — processes
+    twice the tile per instruction and measured 1.5x over 8 on-chip:
+    597M vs 396M events/s.  Results are bit-invariant to the blocking,
+    verified on-chip).
     """
     pk = build_pk(cfg)
     seeds = jnp.asarray(seeds, jnp.uint32)
     B = seeds.shape[0]
     assert B % LANES == 0, f"batch must be a multiple of {LANES}"
     R = B // LANES
-    rblk = next(r for r in range(min(8, R), 0, -1) if R % r == 0)
+    rblk = next(r for r in range(min(max_rblk, R), 0, -1) if R % r == 0)
     n_blocks = R // rblk
     if chunk_events is None:  # largest divisor of n_events <= 128
         chunk_events = next(c for c in range(min(128, n_events), 0, -1)
@@ -603,7 +610,8 @@ def parity_events(cfg: EnvConfig, seeds: jax.Array, jr: jax.Array,
 def parity_scripted_events(cfg: EnvConfig, seeds: jax.Array,
                            rows: jax.Array, n_events: int,
                            chunk_events: int | None = None,
-                           interpret: bool = False) -> ParityEventsOut:
+                           interpret: bool = False,
+                           max_rblk: int = 8) -> ParityEventsOut:
     """SCRIPTED bit-exact parity rollout on-chip (the golden-fixture
     harness shape: one host-chosen action row per step,
     soccer_simultaneous_env.py:394-396).
@@ -621,7 +629,10 @@ def parity_scripted_events(cfg: EnvConfig, seeds: jax.Array,
     The script lives 6-PACKED in VMEM per lane block (rows are < 25, so
     SCRIPT_PACK=6 entries of 5 bits share one int32); scripts longer
     than ~6000 rows exceed the budget — use the XLA path
-    (core/parity.parity_rollout) for those."""
+    (core/parity.parity_rollout) for those.  ``max_rblk`` stays 8 here:
+    the closed-loop kernel gains 1.5x at 16, but with the script scan's
+    working set the 16-row blocks measured 7x SLOWER on-chip (21M vs
+    149M steps/s) — do not raise it."""
     pk = build_pk(cfg)
     seeds = jnp.asarray(seeds, jnp.uint32)
     B = seeds.shape[0]
@@ -632,7 +643,7 @@ def parity_scripted_events(cfg: EnvConfig, seeds: jax.Array,
         f"rows must be [T, {B}]"
     T = rows.shape[0]
     T_pack = -(-(-(-T // SCRIPT_PACK)) // SCRIPT_SLAB) * SCRIPT_SLAB
-    rblk = next(r for r in range(min(8, R), 0, -1) if R % r == 0)
+    rblk = next(r for r in range(min(max_rblk, R), 0, -1) if R % r == 0)
     script_mb = T_pack * rblk * LANES * 4 / 2**20
     if script_mb > 4:
         raise ValueError(
